@@ -1,0 +1,218 @@
+"""Llama-family decoder (Llama-2 / Mistral) — functional JAX.
+
+TPU-first re-design of the reference's HF ``LlamaForCausalLM`` backbone
+(``/root/reference/prismatic/models/backbones/llm/base_llm.py:101-223``,
+``llama2.py:55-102``): parameters live in a nested pytree with all decoder
+layers **stacked on a leading axis** and the layer loop expressed as
+``lax.scan`` — one compiled layer body instead of 32 unrolled ones — with
+optional ``jax.checkpoint`` rematerialization replacing torch activation
+checkpointing (``fsdp.py:174-186``).
+
+Numerics match transformers' Llama: RMSNorm in fp32, RoPE rotate_half with
+fp32 cos/sin, SwiGLU MLP, fp32 attention softmax (verified by the parity
+tests in ``tests/test_llama_parity.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emmax_tpu.ops.attention import causal_mask, multi_head_attention
+from emmax_tpu.ops.norms import rms_norm
+from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32064          # llama-2 32000 + <PAD>, padded to 64
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    hidden_dim: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# Llama-2-7B with the Emma-X padded vocab (llama2.py:73-76).
+LLAMA2_7B = LlamaConfig()
+LLAMA2_13B = LlamaConfig(dim=5120, n_layers=40, n_heads=40, n_kv_heads=40,
+                         hidden_dim=13824)
+MISTRAL_7B = LlamaConfig(vocab_size=32064, dim=4096, n_layers=32, n_heads=32,
+                         n_kv_heads=8, hidden_dim=14336, max_seq_len=2048)
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
+                      dtype=jnp.float32) -> Params:
+    """Random init (normal 0.02) — real runs load converted weights."""
+    keys = iter(jax.random.split(rng, 16))
+
+    def norm01(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    L, D, H, KV, hd, F = (cfg.n_layers, cfg.dim, cfg.n_heads, cfg.n_kv_heads,
+                          cfg.head_dim, cfg.hidden_dim)
+    return {
+        "embed": norm01(next(keys), (cfg.vocab_size, D)),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "wq": norm01(next(keys), (L, D, H * hd)),
+            "wk": norm01(next(keys), (L, D, KV * hd)),
+            "wv": norm01(next(keys), (L, D, KV * hd)),
+            "wo": norm01(next(keys), (L, H * hd, D)),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "w_gate": norm01(next(keys), (L, D, F)),
+            "w_up": norm01(next(keys), (L, D, F)),
+            "w_down": norm01(next(keys), (L, F, D)),
+        },
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": norm01(next(keys), (D, cfg.vocab_size)),
+    }
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> Params:
+    """Cache layout: [n_layers, B, S, KV, hd] + slot-validity mask.
+
+    Serving packs prompts LEFT-padded (matching the reference's val collator,
+    ``util/data_utils.py:146-195``) so every row's write cursor is shared.
+    """
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "mask": jnp.zeros((batch, max_len), jnp.bool_),
+        "len": jnp.zeros((), jnp.int32),
+    }
+
+
+def _layer(h, layer_params, cos, sin, attn_mask, cfg: LlamaConfig,
+           attn_impl: str):
+    """One decoder layer (uncached path)."""
+    p = layer_params
+    B, L, D = h.shape
+    x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
+    q = (x @ p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+    k = (x @ p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+    v = (x @ p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn_out = multi_head_attention(q, k, v, mask=attn_mask, impl=attn_impl)
+    h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
+    x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
+    h = h + (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+    return h
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,                 # [B, L, D]
+    *,
+    mask: Optional[jax.Array] = None,         # [B, L] bool (True = valid)
+    positions: Optional[jax.Array] = None,    # [B, L] int32
+    kv_cache: Optional[Params] = None,        # from init_kv_cache; None = no cache
+    attn_impl: str = "xla",
+    remat: bool = False,
+    logits_dtype=jnp.float32,
+) -> Tuple[jax.Array, Optional[Params]]:
+    """Returns (logits [B, L, V], updated_kv_cache_or_None).
+
+    Without a cache: causal self-attention over the L tokens (+ padding mask).
+    With a cache: the L tokens are written at slots [len, len+L) and attend to
+    every valid cache slot ≤ their own (decode passes L == 1).
+    """
+    B, L, D = inputs_embeds.shape
+    if positions is None:
+        if mask is not None:
+            positions = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    new_cache = None
+    if kv_cache is None:
+        attn_mask = causal_mask(L, L)  # [1,1,L,L]
+        if mask is not None:
+            attn_mask = attn_mask & mask[:, None, None, :]
+
+        def body(h, xs):
+            h = _layer(h, xs, cos, sin, attn_mask, cfg, attn_impl)
+            return h, None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        h, _ = jax.lax.scan(body_fn, inputs_embeds, params["layers"])
+    else:
+        S = kv_cache["k"].shape[2]
+        t0 = kv_cache["len"]
+        slot_mask = jax.lax.dynamic_update_slice(
+            kv_cache["mask"],
+            (mask if mask is not None else jnp.ones((B, L), jnp.bool_)),
+            (0, t0),
+        )
+        # query i (at slot t0+i) attends to valid slots j <= t0+i
+        qi = t0 + jnp.arange(L)[:, None]
+        kj = jnp.arange(S)[None, :]
+        attn_mask = (kj <= qi)[None, None] & slot_mask[:, None, None, :]
+
+        def body(h, xs):
+            layer_params, k_c, v_c = xs
+            # compute current k/v first, merge into this layer's cache slice
+            p = layer_params
+            x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
+            k_new = (x @ p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            v_new = (x @ p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            k_new = apply_rope(k_new, cos, sin)
+            k_c = jax.lax.dynamic_update_slice(k_c, k_new.astype(k_c.dtype),
+                                               (0, t0, 0, 0))
+            v_c = jax.lax.dynamic_update_slice(v_c, v_new.astype(v_c.dtype),
+                                               (0, t0, 0, 0))
+            q = (x @ p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+            q = apply_rope(q, cos, sin)
+            attn_out = multi_head_attention(q, k_c, v_c, mask=attn_mask,
+                                            impl=attn_impl)
+            h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
+            x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
+            h = h + (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+            return h, (k_c, v_c)
+
+        h, (k_all, v_all) = jax.lax.scan(
+            body, inputs_embeds,
+            (params["layers"], kv_cache["k"], kv_cache["v"]))
+        new_cache = {"k": k_all, "v": v_all, "mask": slot_mask,
+                     "len": t0 + L}
+
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    logits = (h @ params["lm_head"]).astype(logits_dtype)
+    return logits, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return params["embed"][input_ids]
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array):
+    """Shifted next-token CE with IGNORE_INDEX masking (matches torch
+    CrossEntropyLoss(ignore_index=-100) used by HF CausalLM)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None],
+                                   axis=-1)[..., 0]
+    token_loss = -jnp.where(valid, token_ll, 0.0)
+    return token_loss.sum() / jnp.maximum(valid.sum(), 1)

@@ -1,0 +1,161 @@
+"""Prismatic-style VLM: fused vision towers + projector + Llama decoder.
+
+TPU-first re-design of ``PrismaticVLM``
+(``/root/reference/prismatic/models/vlms/prismatic.py:42-485``): a frozen
+config + parameter pytree + pure functions. One forward serves training and
+prefill; decode steps go straight to ``llama_forward`` with the KV cache
+(mirroring the reference short-circuit at ``prismatic.py:333-347``).
+
+Fusion contract (``prismatic.py:392-424``): projected patch embeddings are
+spliced *after the BOS token*; patch positions get attention True and label
+IGNORE_INDEX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emmax_tpu.models.llama import (IGNORE_INDEX, LlamaConfig,
+                                    cross_entropy_loss, embed_tokens,
+                                    init_llama_params, llama_forward)
+from emmax_tpu.models.projector import (init_projector_params,
+                                        projector_forward)
+from emmax_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VLMConfig:
+    """Static architecture description (hashable: towers as a tuple)."""
+
+    vision: Tuple[Tuple[str, ViTConfig], ...]   # ordered (name, cfg) pairs
+    llm: LlamaConfig
+    arch_specifier: str = "no-align+fused-gelu-mlp"
+
+    @property
+    def vision_dim(self) -> int:
+        return sum(cfg.dim for _, cfg in self.vision)
+
+    @property
+    def num_patches(self) -> int:
+        counts = {cfg.num_patches for _, cfg in self.vision}
+        assert len(counts) == 1, "towers must agree on patch count"
+        return counts.pop()
+
+
+def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32) -> Params:
+    k_vision, k_proj, k_llm = jax.random.split(rng, 3)
+    vision_keys = jax.random.split(k_vision, max(len(cfg.vision), 1))
+    return {
+        "vision": {name: init_vit_params(k, vcfg, dtype)
+                   for k, (name, vcfg) in zip(vision_keys, cfg.vision)},
+        "projector": init_projector_params(k_proj, cfg.arch_specifier,
+                                           cfg.vision_dim, cfg.llm.dim, dtype),
+        "llm": init_llama_params(k_llm, cfg.llm, dtype),
+    }
+
+
+def encode_images(params: Params, cfg: VLMConfig,
+                  pixel_values: Dict[str, jax.Array], *,
+                  attn_impl: str = "xla") -> jax.Array:
+    """Run every tower on its own normalized image and concat on channels
+    (``dinosiglip_vit.py:142-147``), then project to LLM dim."""
+    feats = [vit_forward(params["vision"][name], vcfg, pixel_values[name],
+                         attn_impl=attn_impl)
+             for name, vcfg in cfg.vision]
+    fused = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+    return projector_forward(params["projector"], fused)
+
+
+def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
+                    mask: jax.Array, labels: Optional[jax.Array] = None):
+    """Splice patches after BOS: [bos | patches | rest-of-text].
+
+    Returns (embeds, mask, labels, positions). Patch slots are always valid
+    and labeled IGNORE (``prismatic.py:392-424``).
+    """
+    B, P, D = patch_embeds.shape
+    embeds = jnp.concatenate(
+        [input_embeds[:, :1], patch_embeds.astype(input_embeds.dtype),
+         input_embeds[:, 1:]], axis=1)
+    fused_mask = jnp.concatenate(
+        [mask[:, :1], jnp.ones((B, P), mask.dtype), mask[:, 1:]], axis=1)
+    fused_labels = None
+    if labels is not None:
+        fused_labels = jnp.concatenate(
+            [labels[:, :1], jnp.full((B, P), IGNORE_INDEX, labels.dtype),
+             labels[:, 1:]], axis=1)
+    positions = jnp.clip(jnp.cumsum(fused_mask.astype(jnp.int32), axis=-1) - 1, 0)
+    return embeds, fused_mask, fused_labels, positions
+
+
+def vlm_forward(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: jax.Array,                       # [B, L]
+    pixel_values: Dict[str, jax.Array],         # name -> [B, H, W, 3]
+    mask: Optional[jax.Array] = None,           # [B, L] bool
+    labels: Optional[jax.Array] = None,         # [B, L] int (-100 ignore)
+    *,
+    kv_cache=None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    stop_vision_gradient: bool = False,
+):
+    """Multimodal forward. Returns (logits, loss_or_None, new_cache_or_None).
+
+    The returned logits cover the fused sequence [bos | patches | text[1:]].
+    """
+    if mask is None:
+        mask = jnp.ones(input_ids.shape, jnp.bool_)
+    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    if stop_vision_gradient:
+        patch_embeds = jax.lax.stop_gradient(patch_embeds)
+    input_embeds = embed_tokens(params["llm"], input_ids)
+    embeds, fmask, flabels, positions = fuse_multimodal(
+        patch_embeds, input_embeds, mask, labels)
+    logits, new_cache = llama_forward(
+        params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
+        kv_cache=kv_cache, attn_impl=attn_impl, remat=remat)
+    loss = cross_entropy_loss(logits, flabels) if flabels is not None else None
+    return logits, loss, new_cache
+
+
+def text_forward(params: Params, cfg: VLMConfig, input_ids: jax.Array,
+                 mask=None, labels=None, *, attn_impl: str = "xla",
+                 remat: bool = False):
+    """Unimodal (text-only) forward — reference ``prismatic.py:356-369``."""
+    embeds = embed_tokens(params["llm"], input_ids)
+    logits, _ = llama_forward(params["llm"], cfg.llm, embeds, mask=mask,
+                              attn_impl=attn_impl, remat=remat)
+    loss = cross_entropy_loss(logits, labels) if labels is not None else None
+    return logits, loss
+
+
+# === Reference model shape: the Emma-X flagship ===
+def emma_x_vlm_config() -> VLMConfig:
+    from emmax_tpu.models.vit import DINOV2_L_REG4, SIGLIP_SO400M
+    from emmax_tpu.models.llama import LLAMA2_7B
+
+    return VLMConfig(
+        vision=(("dino", DINOV2_L_REG4), ("siglip", SIGLIP_SO400M)),
+        llm=LLAMA2_7B,
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+
+
+def tiny_vlm_config(vocab_size: int = 512) -> VLMConfig:
+    """Small config for tests/smoke runs (matching structure, tiny dims)."""
+    dino = ViTConfig(img_size=28, patch_size=14, dim=32, depth=3, n_heads=2,
+                     hidden_dim=64, class_token=True, num_reg_tokens=4,
+                     layerscale=True)
+    siglip = ViTConfig(img_size=28, patch_size=14, dim=48, depth=4, n_heads=2,
+                       hidden_dim=96, class_token=False, gelu_tanh=True)
+    llm = LlamaConfig(vocab_size=vocab_size, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=4, hidden_dim=128, max_seq_len=256)
+    return VLMConfig(vision=(("dino", dino), ("siglip", siglip)), llm=llm)
