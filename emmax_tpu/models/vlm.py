@@ -74,22 +74,38 @@ def encode_images(params: Params, cfg: VLMConfig,
 
 def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
                     mask: jax.Array, labels: Optional[jax.Array] = None):
-    """Splice patches after BOS: [bos | patches | rest-of-text].
+    """Splice patches after each row's BOS: [pads... | bos | patches | text].
 
-    Returns (embeds, mask, labels, positions). Patch slots are always valid
-    and labeled IGNORE (``prismatic.py:392-424``).
+    Generalizes the reference splice (``prismatic.py:392-424``, which assumes
+    BOS at index 0) to left-padded batches: for a row whose first valid token
+    sits at index ``p``, the fused row is text[:p+1] | patches | text[p+1:].
+    With no padding this is byte-identical to the reference layout. Patch
+    slots are always valid and labeled IGNORE.
+
+    Returns (embeds, mask, labels, positions).
     """
     B, P, D = patch_embeds.shape
-    embeds = jnp.concatenate(
-        [input_embeds[:, :1], patch_embeds.astype(input_embeds.dtype),
-         input_embeds[:, 1:]], axis=1)
-    fused_mask = jnp.concatenate(
-        [mask[:, :1], jnp.ones((B, P), mask.dtype), mask[:, 1:]], axis=1)
+    L = input_embeds.shape[1]
+    F = L + P
+    # first valid index per row (0 when unpadded / right-padded)
+    p = jnp.argmax(mask, axis=-1).astype(jnp.int32)          # [B]
+    j = jnp.arange(F, dtype=jnp.int32)[None, :]              # [1, F]
+    pe = p[:, None]
+    is_patch = (j > pe) & (j <= pe + P)
+    # source index into concat([text (L), patches (P)]):
+    src_text = jnp.where(j <= pe, j, j - P)                  # before/after splice
+    src = jnp.where(is_patch, L + (j - pe - 1), src_text)
+    source = jnp.concatenate(
+        [input_embeds, patch_embeds.astype(input_embeds.dtype)], axis=1)
+    embeds = jnp.take_along_axis(source, src[..., None], axis=1)
+    fused_mask = jnp.where(
+        is_patch, True,
+        jnp.take_along_axis(mask, jnp.clip(src_text, 0, L - 1), axis=1))
     fused_labels = None
     if labels is not None:
-        fused_labels = jnp.concatenate(
-            [labels[:, :1], jnp.full((B, P), IGNORE_INDEX, labels.dtype),
-             labels[:, 1:]], axis=1)
+        fused_labels = jnp.where(
+            is_patch, IGNORE_INDEX,
+            jnp.take_along_axis(labels, jnp.clip(src_text, 0, L - 1), axis=1))
     positions = jnp.clip(jnp.cumsum(fused_mask.astype(jnp.int32), axis=-1) - 1, 0)
     return embeds, fused_mask, fused_labels, positions
 

@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emmax_tpu.models.llama import IGNORE_INDEX
+from emmax_tpu.models.vlm import init_vlm_params, tiny_vlm_config
+from emmax_tpu.parallel import make_mesh, param_partition_specs, shard_params
+from emmax_tpu.parallel.mesh import resolve_mesh_shape, strategy_to_mesh_shape
+from emmax_tpu.parallel.sharding import shard_batch
+from emmax_tpu.training.train_state import (create_train_state,
+                                            make_optimizer,
+                                            stage_from_flags, trainable_mask)
+from emmax_tpu.training.train_step import jit_train_step, make_train_step
+
+
+def _make_batch(cfg, rng, B=8, L=12):
+    ids = rng.integers(3, cfg.llm.vocab_size, size=(B, L))
+    ids[:, 0] = 1
+    labels = ids.copy()
+    labels[:, :4] = IGNORE_INDEX
+    pixels = {name: rng.normal(size=(B, v.img_size, v.img_size, 3))
+              .astype(np.float32) for name, v in cfg.vision}
+    return {"input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((B, L), jnp.bool_),
+            "labels": jnp.asarray(labels),
+            "pixel_values": {k: jnp.asarray(v) for k, v in pixels.items()}}
+
+
+def test_mesh_resolution():
+    assert resolve_mesh_shape((1, -1, 1), 8) == (1, 8, 1)
+    assert resolve_mesh_shape((2, -1, 2), 8) == (2, 2, 2)
+    assert strategy_to_mesh_shape("fsdp-full-shard", 8) == (1, 8, 1)
+    assert strategy_to_mesh_shape("ddp", 8) == (8, 1, 1)
+    assert strategy_to_mesh_shape("fsdp-shard-grad-op", 8, n_hosts=2) == (2, 4, 1)
+
+
+def test_partition_specs_shard_big_params():
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh((1, 4, 2))
+    specs = param_partition_specs(params, mesh)
+    assert specs["llm"]["layers"]["wq"] == jax.sharding.PartitionSpec(
+        None, "fsdp", "tensor")
+    assert all(e is None for e in specs["llm"]["layers"]["attn_norm"])
+    # dims that don't divide fall back to replication on that axis
+    for spec, leaf in zip(jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)),
+            jax.tree_util.tree_leaves(params)):
+        for dim, entry in zip(leaf.shape, list(spec)):
+            if entry is not None:
+                axes = entry if isinstance(entry, tuple) else (entry,)
+                size = int(np.prod([mesh.shape[a] for a in axes]))
+                assert dim % size == 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (1, 4, 2), (2, 2, 2)])
+def test_sharded_train_step_runs_and_learns(mesh_shape):
+    cfg = tiny_vlm_config()
+    mesh = make_mesh(mesh_shape)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1.0, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-full-train")
+    params = shard_params(params, mesh)
+    state = create_train_state(params, tx)
+    step = jit_train_step(make_train_step(cfg, tx, remat=True,
+                                          compute_dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+    batch = shard_batch(_make_batch(cfg, rng), mesh)
+    state, m1 = step(state, batch)
+    state, m2 = step(state, batch)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])  # same batch → must improve
+    assert int(state.step) == 2
+
+
+def test_grad_accumulation_matches_full_batch():
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1e9, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-full-train")
+    rng = np.random.default_rng(1)
+    batch = _make_batch(cfg, rng, B=4)
+    s0 = create_train_state(params, tx)
+    full = make_train_step(cfg, tx, remat=False, compute_dtype=jnp.float32)
+    accum = make_train_step(cfg, tx, remat=False, compute_dtype=jnp.float32,
+                            grad_accum_steps=2)
+    s_full, m_full = jax.jit(full)(s0, batch)
+    s0b = create_train_state(params, tx)
+    s_acc, m_acc = jax.jit(accum)(s0b, batch)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_acc["loss"]),
+                               rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_full.params)[3]
+    b = jax.tree_util.tree_leaves(s_acc.params)[3]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainable_mask_stages():
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    m = trainable_mask(params, "align")
+    assert float(jnp.max(m["llm"]["layers"]["wq"])) == 0.0
+    assert float(jnp.min(m["projector"]["layers"][0]["kernel"])) == 1.0
+    m = trainable_mask(params, "vla-train")
+    assert float(jnp.min(m["llm"]["layers"]["wq"])) == 1.0
+    assert float(jnp.max(m["vision"]["dino"]["blocks"]["wqkv"])) == 0.0
+    m = trainable_mask(params, "vla-last-layer-train")
+    wq = np.asarray(m["llm"]["layers"]["wq"])
+    assert wq[-1].min() == 1.0 and wq[:-1].max() == 0.0
+    assert float(jnp.min(m["llm"]["embed"])) == 1.0
+    assert float(jnp.max(m["projector"]["layers"][0]["kernel"])) == 0.0
+
+
+def test_stage_from_flags():
+    assert stage_from_flags(False, False, False) == "vla-full-train"
+    assert stage_from_flags(True, False, False) == "vla-train"
+    assert stage_from_flags(True, True, True) == "vla-last-layer-train"
+    assert stage_from_flags(False, True, True) == "vla-sandwich-train"
+
+
+def test_frozen_params_unchanged_after_step():
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-2, weight_decay=0.0,
+                           max_grad_norm=1.0, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-train")  # vision frozen
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, tx, remat=False,
+                                   compute_dtype=jnp.float32))
+    rng = np.random.default_rng(2)
+    before = np.asarray(params["vision"]["dino"]["blocks"]["wqkv"]).copy()
+    state, _ = step(state, _make_batch(cfg, rng, B=2))
+    after = np.asarray(state.params["vision"]["dino"]["blocks"]["wqkv"])
+    np.testing.assert_array_equal(before, after)
+    # llm did change
+    assert not np.array_equal(
+        np.asarray(params["llm"]["layers"]["wq"]),
+        np.asarray(state.params["llm"]["layers"]["wq"]))
