@@ -1,0 +1,375 @@
+"""RLDS-style trajectory pipeline (tf.data, TF-gated).
+
+TPU-host counterpart of the reference RLDS stack
+(``/root/reference/prismatic/vla/datasets/rlds/dataset.py:39-916`` + the OXE
+config/transform registries). The reference depends on ``tensorflow_datasets``
++ ``dlimp``; neither is in this image, so episodes are read from a simple
+self-describing TFRecord layout ("emmaX-rlds": one ``tf.train.Example`` per
+episode — see ``write_episodes``/``EPISODE_SPEC``) that a one-time conversion
+script produces from any RLDS/TFDS source. All pipeline *semantics* mirror
+the reference:
+
+- ``standardize`` per-dataset transforms (``oxe/transforms.py`` — bridge_orig
+  implemented: drop all-zero first step, binarize gripper, relabel actions,
+  EEF/gripper state split),
+- statistics + BOUNDS_Q99 normalization (``utils/data_utils.py:61-271``) via
+  ``emmax_tpu.data.normalization``,
+- trajectory transforms: unlabeled filter + window/future-window chunking
+  (``utils/traj_transforms.py:14-71``),
+- frame transforms: JPEG decode + resize,
+- weighted interleave + shuffle (``dataset.py:678-809``),
+- the *trajectory-level* ``load_bridgev2_dataset`` variant keeping
+  ``file_path``/``episode_id`` join keys for GCOT (``dataset.py:812-916``).
+
+Everything here is host-side input plumbing; nothing imports JAX.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from emmax_tpu.data.normalization import (NormalizationType,
+                                          cached_statistics,
+                                          compute_statistics)
+
+try:  # TF is host-only and optional
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    HAVE_TF = True
+except Exception:  # pragma: no cover
+    tf = None
+    HAVE_TF = False
+
+
+def _require_tf():
+    if not HAVE_TF:
+        raise ImportError("tensorflow is required for the RLDS pipeline")
+
+
+# === storage format ==========================================================
+# one Example per episode; images stored as encoded JPEG/PNG bytes per step.
+EPISODE_KEYS = ("steps/image_primary", "steps/proprio", "steps/action",
+                "language_instruction", "file_path", "episode_id")
+
+
+def write_episodes(path, episodes: Sequence[Dict]) -> None:
+    """episodes: dicts with image_bytes (list[bytes]), proprio [T, Dp],
+    action [T, Da], language (str), file_path (str), episode_id (int)."""
+    _require_tf()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with tf.io.TFRecordWriter(str(path)) as w:
+        for ep in episodes:
+            T = len(ep["image_bytes"])
+            feat = {
+                "steps/image_primary": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=list(ep["image_bytes"]))),
+                "steps/proprio": tf.train.Feature(float_list=tf.train.FloatList(
+                    value=np.asarray(ep["proprio"], np.float32).reshape(-1))),
+                "steps/action": tf.train.Feature(float_list=tf.train.FloatList(
+                    value=np.asarray(ep["action"], np.float32).reshape(-1))),
+                "language_instruction": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(
+                        value=[ep["language"].encode()])),
+                "file_path": tf.train.Feature(bytes_list=tf.train.BytesList(
+                    value=[str(ep["file_path"]).encode()])),
+                "episode_id": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=[int(ep["episode_id"])])),
+                "num_steps": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=[T])),
+                "proprio_dim": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=[int(np.asarray(ep["proprio"]).shape[-1])])),
+                "action_dim": tf.train.Feature(int64_list=tf.train.Int64List(
+                    value=[int(np.asarray(ep["action"]).shape[-1])])),
+            }
+            w.write(tf.train.Example(
+                features=tf.train.Features(feature=feat)).SerializeToString())
+
+
+def _parse_episode(serialized):
+    spec = {
+        "steps/image_primary": tf.io.VarLenFeature(tf.string),
+        "steps/proprio": tf.io.VarLenFeature(tf.float32),
+        "steps/action": tf.io.VarLenFeature(tf.float32),
+        "language_instruction": tf.io.FixedLenFeature([], tf.string),
+        "file_path": tf.io.FixedLenFeature([], tf.string),
+        "episode_id": tf.io.FixedLenFeature([], tf.int64),
+        "num_steps": tf.io.FixedLenFeature([], tf.int64),
+        "proprio_dim": tf.io.FixedLenFeature([], tf.int64),
+        "action_dim": tf.io.FixedLenFeature([], tf.int64),
+    }
+    ex = tf.io.parse_single_example(serialized, spec)
+    T = ex["num_steps"]
+    traj = {
+        "observation": {
+            "image_primary": tf.sparse.to_dense(ex["steps/image_primary"]),
+            "proprio": tf.reshape(tf.sparse.to_dense(ex["steps/proprio"]),
+                                  (T, ex["proprio_dim"])),
+        },
+        "action": tf.reshape(tf.sparse.to_dense(ex["steps/action"]),
+                             (T, ex["action_dim"])),
+        "task": {"language_instruction": ex["language_instruction"]},
+        "file_path": tf.fill((T,), ex["file_path"]),
+        "episode_id": tf.fill((T,), tf.cast(ex["episode_id"], tf.int32)),
+    }
+    return traj
+
+
+# === per-dataset standardization (oxe/transforms.py) =========================
+
+def _tf_binarize_gripper(actions):
+    """TF mirror of normalization.binarize_gripper_actions (reverse scan,
+    reference data_utils.py:107-142)."""
+    def scan_fn(carry, a):
+        return tf.cond(a > 0.95, lambda: 1.0,
+                       lambda: tf.cond(a < 0.05, lambda: 0.0, lambda: carry))
+
+    rev = tf.reverse(actions, axis=[0])
+    out = tf.scan(scan_fn, rev, initializer=rev[0])
+    return tf.reverse(out, axis=[0])
+
+
+def bridge_orig_standardize(traj: Dict) -> Dict:
+    """``bridge_orig_dataset_transform`` (oxe/transforms.py:61-86): drop the
+    all-zero first step, binarize gripper dim, split EEF/gripper state."""
+    traj = {k: (tf.nest.map_structure(lambda x: x[1:], v)
+                if k in ("observation",) else
+                (v[1:] if k not in ("task",) else v))
+            for k, v in traj.items()}
+    traj["action"] = tf.concat(
+        [traj["action"][:, :6],
+         _tf_binarize_gripper(traj["action"][:, -1])[:, None]], axis=1)
+    traj["observation"]["EEF_state"] = traj["observation"]["proprio"][:, :6]
+    traj["observation"]["gripper_state"] = traj["observation"]["proprio"][:, -1:]
+    return traj
+
+
+STANDARDIZE_FNS: Dict[str, Callable] = {
+    "bridge_orig": bridge_orig_standardize,
+    "bridge": bridge_orig_standardize,
+}
+
+# normalization mask: xyz+rpy normalized, gripper passthrough
+# (oxe/materialize.py:37-42 ABSOLUTE_ACTION_MASK for EEF_POS)
+ACTION_PROPRIO_NORMALIZATION_MASK = [True] * 6 + [False]
+
+# named mixtures (oxe/mixtures.py:11-196 — bridge subset; OXE mixes need
+# their datasets converted first)
+NAMED_MIXTURES: Dict[str, List[Tuple[str, float]]] = {
+    "bridge": [("bridge_orig", 1.0)],
+    "bridge_orig": [("bridge_orig", 1.0)],
+}
+
+
+# === dataset construction ====================================================
+
+def make_dataset_from_rlds(
+    data_dir,
+    name: str = "bridge_orig",
+    split: str = "train",
+    *,
+    standardize_fn: Optional[Callable] = None,
+    normalization_type: NormalizationType = NormalizationType.BOUNDS_Q99,
+    norm_mask: Optional[Sequence[bool]] = ACTION_PROPRIO_NORMALIZATION_MASK,
+    cache_dir: Optional[str] = None,
+    dataset_statistics: Optional[Dict] = None,
+    keep_metadata: bool = True,
+):
+    """Trajectory-level tf.data.Dataset + statistics dict.
+
+    Mirrors ``_make_dataset_from_rlds`` (dataset.py:39-251,397-408): parse →
+    standardize → compute/cache statistics → normalize. Returns
+    (dataset, statistics).
+    """
+    _require_tf()
+    files = sorted(Path(data_dir).glob(f"{name}-{split}*.tfrecord*"))
+    if not files:
+        raise FileNotFoundError(f"no {name}-{split} tfrecords in {data_dir}")
+    ds = tf.data.TFRecordDataset([str(f) for f in files])
+    ds = ds.map(_parse_episode, num_parallel_calls=tf.data.AUTOTUNE)
+    standardize_fn = standardize_fn or STANDARDIZE_FNS.get(name)
+    if standardize_fn is not None:
+        ds = ds.map(standardize_fn, num_parallel_calls=tf.data.AUTOTUNE)
+
+    if dataset_statistics is None:
+        def compute():
+            actions, proprios = [], []
+            for traj in ds.as_numpy_iterator():
+                actions.append(traj["action"])
+                proprios.append(traj["observation"]["proprio"])
+            stats = {"action": compute_statistics(actions),
+                     "proprio": compute_statistics(proprios),
+                     "num_trajectories": len(actions)}
+            if norm_mask is not None:
+                stats["action"]["mask"] = list(norm_mask)
+            return stats
+
+        if cache_dir is not None:
+            dataset_statistics = cached_statistics(
+                cache_dir, [str(data_dir), name, split], compute)
+        else:
+            dataset_statistics = compute()
+
+    a_stats = dataset_statistics["action"]
+    p_stats = dataset_statistics["proprio"]
+
+    def normalize(traj):
+        def norm(x, st):
+            mask = tf.constant(np.asarray(
+                st.get("mask", [True] * len(st["min"])), bool))
+            low = tf.constant(np.asarray(
+                st["q01" if normalization_type == NormalizationType.BOUNDS_Q99
+                   else "min"], np.float32))
+            high = tf.constant(np.asarray(
+                st["q99" if normalization_type == NormalizationType.BOUNDS_Q99
+                   else "max"], np.float32))
+            out = tf.where(mask, tf.clip_by_value(
+                2.0 * (x - low) / (high - low + 1e-8) - 1.0, -1.0, 1.0), x)
+            zeros = tf.constant(np.asarray(st["min"]) == np.asarray(st["max"]))
+            return tf.where(zeros, tf.zeros_like(out), out)
+
+        traj["action"] = norm(traj["action"], a_stats)
+        traj["observation"]["proprio"] = norm(
+            traj["observation"]["proprio"], p_stats)
+        return traj
+
+    if normalization_type is not None:
+        ds = ds.map(normalize, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds, dataset_statistics
+
+
+def apply_trajectory_transforms(ds, *, window_size: int = 1,
+                                future_action_window_size: int = 0,
+                                skip_unlabeled: bool = False):
+    """Chunking (utils/traj_transforms.py:14-71): each frame gets an
+    observation history window and an action chunk of
+    window + future_action_window steps (padded by repeating the last)."""
+    _require_tf()
+    if skip_unlabeled:
+        ds = ds.filter(
+            lambda t: tf.strings.length(t["task"]["language_instruction"]) > 0)
+
+    def chunk(traj):
+        T = tf.shape(traj["action"])[0]
+        w, f = window_size, future_action_window_size
+        # history indices [T, w]; clamped at 0
+        hist = tf.range(T)[:, None] + tf.range(-w + 1, 1)[None, :]
+        hist = tf.maximum(hist, 0)
+        # action chunk indices [T, w+f]; clamped at T-1
+        act = tf.range(T)[:, None] + tf.range(-w + 1, f + 1)[None, :]
+        act = tf.minimum(tf.maximum(act, 0), T - 1)
+        out = dict(traj)
+        out["observation"] = tf.nest.map_structure(
+            lambda x: tf.gather(x, hist), traj["observation"])
+        out["action"] = tf.gather(traj["action"], act)
+        return out
+
+    return ds.map(chunk, num_parallel_calls=tf.data.AUTOTUNE)
+
+
+def flatten_trajectories(ds):
+    """Trajectory dataset → frame dataset (dataset.py unflatten step)."""
+    _require_tf()
+
+    def to_frames(traj):
+        T = tf.shape(traj["action"])[0]
+        traj = dict(traj)
+        # broadcast per-episode scalars (task) to per-frame
+        traj["task"] = tf.nest.map_structure(
+            lambda x: tf.fill((T,), x) if x.shape.ndims == 0 else x,
+            traj["task"])
+        return tf.data.Dataset.from_tensor_slices(traj)
+
+    return ds.flat_map(to_frames)
+
+
+def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
+                           num_parallel_calls: int = 16):
+    """Decode (+ optionally resize) the primary image per frame
+    (dataset.py:590-645; parallelism default from datasets.py:115)."""
+    _require_tf()
+
+    def decode(frame):
+        img = frame["observation"]["image_primary"]
+        # possibly [w] window of encoded strings; decode each
+        def dec_one(b):
+            return tf.io.decode_image(b, expand_animations=False,
+                                      dtype=tf.uint8, channels=3)
+
+        if img.shape.ndims == 1:
+            imgs = tf.map_fn(dec_one, img, fn_output_signature=tf.uint8)
+        else:
+            imgs = dec_one(img)
+        if resize is not None:
+            imgs = tf.cast(tf.image.resize(imgs, resize, method="lanczos3"),
+                           tf.uint8)
+        frame["observation"]["image_primary"] = imgs
+        return frame
+
+    return ds.map(decode, num_parallel_calls=num_parallel_calls)
+
+
+def make_interleaved_dataset(datasets: Sequence, weights: Sequence[float], *,
+                             shuffle_buffer_size: int = 1000,
+                             seed: int = 7):
+    """Weighted sampling across datasets + shuffle (dataset.py:678-809)."""
+    _require_tf()
+    weights = np.asarray(weights, np.float64)
+    weights = (weights / weights.sum()).tolist()
+    ds = tf.data.Dataset.sample_from_datasets(
+        [d.repeat() for d in datasets], weights, seed=seed)
+    return ds.shuffle(shuffle_buffer_size, seed=seed)
+
+
+def make_single_dataset(data_dir, name: str = "bridge_orig",
+                        split: str = "train", *, window_size: int = 1,
+                        future_action_window_size: int = 0,
+                        resize: Optional[Tuple[int, int]] = None,
+                        cache_dir=None):
+    """Full single-dataset frame pipeline (dataset.py:648-674)."""
+    ds, stats = make_dataset_from_rlds(data_dir, name, split,
+                                       cache_dir=cache_dir)
+    ds = apply_trajectory_transforms(
+        ds, window_size=window_size,
+        future_action_window_size=future_action_window_size)
+    ds = flatten_trajectories(ds)
+    ds = apply_frame_transforms(ds, resize=resize)
+    return ds, stats
+
+
+def load_bridgev2_dataset(data_dir, split: str = "train", *, cache_dir=None):
+    """Trajectory-level (non-flattened) bridge data with file_path/episode_id
+    join keys — the GCOT join source (dataset.py:812-916)."""
+    return make_dataset_from_rlds(data_dir, "bridge_orig", split,
+                                  cache_dir=cache_dir, keep_metadata=True)
+
+
+class RLDSFrameSource:
+    """FrameSource over the trajectory-level dataset: materializes the
+    ``file_path|episode_id → encoded frames`` index once (the reference holds
+    the whole RLDS in RAM, datasets.py:459-476; here only the encoded JPEG
+    bytes are held, ~20x smaller than decoded frames)."""
+
+    def __init__(self, data_dir, splits=("train", "val"), cache_dir=None):
+        _require_tf()
+        self.index: Dict[str, np.ndarray] = {}
+        for split in splits:
+            try:
+                ds, _ = load_bridgev2_dataset(data_dir, split,
+                                              cache_dir=cache_dir)
+            except FileNotFoundError:
+                continue
+            for traj in ds.as_numpy_iterator():
+                key = (traj["file_path"][0].decode("utf-8") + "|"
+                       + str(int(traj["episode_id"][0])))
+                self.index[key] = traj["observation"]["image_primary"]
+
+    def get_frame(self, key: str, index: int) -> np.ndarray:
+        blob = self.index[key][index]
+        img = tf.io.decode_image(blob, expand_animations=False,
+                                 dtype=tf.uint8, channels=3)
+        return img.numpy()

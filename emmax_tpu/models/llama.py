@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from emmax_tpu.ops.attention import causal_mask, multi_head_attention
+from emmax_tpu.ops.attention import multi_head_attention
 from emmax_tpu.ops.norms import rms_norm
 from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -99,9 +99,9 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     }
 
 
-def _layer(h, layer_params, cos, sin, attn_mask, cfg: LlamaConfig,
+def _layer(h, layer_params, cos, sin, kv_mask, cfg: LlamaConfig,
            attn_impl: str):
-    """One decoder layer (uncached path)."""
+    """One decoder layer (uncached path, causal)."""
     p = layer_params
     B, L, D = h.shape
     x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
@@ -110,7 +110,8 @@ def _layer(h, layer_params, cos, sin, attn_mask, cfg: LlamaConfig,
     v = (x @ p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn_out = multi_head_attention(q, k, v, mask=attn_mask, impl=attn_impl)
+    attn_out = multi_head_attention(q, k, v, kv_mask=kv_mask, causal=True,
+                                    impl=attn_impl)
     h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
     x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
     h = h + (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
@@ -145,12 +146,8 @@ def llama_forward(
 
     new_cache = None
     if kv_cache is None:
-        attn_mask = causal_mask(L, L)  # [1,1,L,L]
-        if mask is not None:
-            attn_mask = attn_mask & mask[:, None, None, :]
-
         def body(h, xs):
-            h = _layer(h, xs, cos, sin, attn_mask, cfg, attn_impl)
+            h = _layer(h, xs, cos, sin, mask, cfg, attn_impl)
             return h, None
 
         body_fn = jax.checkpoint(body) if remat else body
@@ -163,10 +160,6 @@ def llama_forward(
             (mask if mask is not None else jnp.ones((B, L), jnp.bool_)),
             (0, t0),
         )
-        # query i (at slot t0+i) attends to valid slots j <= t0+i
-        qi = t0 + jnp.arange(L)[:, None]
-        kj = jnp.arange(S)[None, :]
-        attn_mask = (kj <= qi)[None, None] & slot_mask[:, None, None, :]
 
         def body(h, xs):
             layer_params, k_c, v_c = xs
@@ -182,7 +175,9 @@ def llama_forward(
                                                (0, t0, 0, 0))
             q = (x @ p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
-            attn_out = multi_head_attention(q, k_c, v_c, mask=attn_mask,
+            # query i (at slot t0+i) attends to valid slots j <= t0+i
+            attn_out = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
+                                            causal=True, q_offset=t0,
                                             impl=attn_impl)
             h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
             x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)

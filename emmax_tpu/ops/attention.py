@@ -1,15 +1,17 @@
-"""Attention dispatch: XLA reference implementation + Pallas kernel hook.
+"""Attention dispatch: XLA reference implementation + Pallas flash kernels.
 
-The model code calls ``multi_head_attention`` with a named ``impl``; "xla"
-is the always-available fp32-softmax reference (and the target XLA fuses well
-on TPU already), "pallas" routes to the flash-attention kernels in
-``emmax_tpu.ops.flash_attention`` (replacement for the reference's
-flash-attn-2 CUDA dependency, ``base_llm.py:111,125``).
+The model passes *structured* mask information — ``kv_mask`` ([B, S] slot
+validity), ``causal`` flag, and ``q_offset`` (absolute position of the first
+query, e.g. the KV-cache write cursor) — instead of a dense [B, H, Lq, Lk]
+mask, so the Pallas kernels can build masks per tile and skip fully-masked
+tiles. ``impl="xla"`` is the always-available fp32-softmax reference;
+``impl="pallas"`` routes to ``emmax_tpu.ops.flash_attention`` (the TPU
+replacement for the reference's flash-attn-2 CUDA dependency,
+``/root/reference/prismatic/models/backbones/llm/base_llm.py:111,125``).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -19,41 +21,55 @@ NEG_INF = -2.3819763e38  # large negative for masking (fits bf16/fp32)
 
 
 def _repeat_kv(k, n_rep: int):
-    if n_rep == 1:
-        return k
-    b, l, h, d = k.shape
-    return jnp.repeat(k, n_rep, axis=2)
+    return k if n_rep == 1 else jnp.repeat(k, n_rep, axis=2)
 
 
-def xla_attention(q, k, v, *, mask: Optional[jax.Array] = None) -> jax.Array:
-    """q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; mask broadcastable to
-    [B, H, Lq, Lk] (True = attend). Softmax in fp32; output in q.dtype."""
+def _dense_mask(B: int, q_len: int, kv_len: int, kv_mask, causal: bool,
+                q_offset):
+    """[B or 1, 1, q_len, kv_len] bool (True = attend)."""
+    mask = None
+    if causal:
+        qi = jnp.arange(q_len)[:, None] + q_offset
+        kj = jnp.arange(kv_len)[None, :]
+        mask = (kj <= qi)[None, None]
+    if kv_mask is not None:
+        km = kv_mask[:, None, None, :]
+        mask = km if mask is None else (mask & km)
+    return mask
+
+
+def xla_attention(q, k, v, *, kv_mask=None, causal: bool = False,
+                  q_offset=0) -> jax.Array:
+    """q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; softmax fp32."""
     n_rep = q.shape[2] // k.shape[2]
     k = _repeat_kv(k, n_rep)
     v = _repeat_kv(v, n_rep)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    mask = _dense_mask(q.shape[0], q.shape[1], k.shape[1], kv_mask, causal,
+                       q_offset)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
-    return out
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
 
-def causal_mask(q_len: int, kv_len: int, q_offset=0):
-    """[1, 1, q_len, kv_len] bool: query i attends to kv j <= i + offset.
-    ``q_offset`` may be a traced scalar (decode step index)."""
-    qi = jnp.arange(q_len)[:, None] + q_offset
-    kj = jnp.arange(kv_len)[None, :]
-    return (kj <= qi)[None, None, :, :]
+def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
+                         q_offset=0, impl: str = "xla") -> jax.Array:
+    """Unified attention entry point.
 
-
-def multi_head_attention(q, k, v, *, mask=None, impl: str = "xla") -> jax.Array:
+    q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; kv_mask [B, Lk] bool or None;
+    ``q_offset`` may be a traced scalar (decode step index).
+    """
     if impl == "xla":
-        return xla_attention(q, k, v, mask=mask)
+        return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                             q_offset=q_offset)
     if impl == "pallas":
         from emmax_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask)
+        n_rep = q.shape[2] // k.shape[2]
+        return flash_attention(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
+                               kv_mask=kv_mask, causal=causal,
+                               q_offset=q_offset)
     raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,463 @@
+"""Pallas TPU flash attention (forward + backward) for the Emma-X stack.
+
+The TPU-native replacement for flash-attn-2 (the reference's CUDA dependency,
+``/root/reference/prismatic/models/backbones/llm/base_llm.py:111,125`` /
+``requirements-min.txt:5``). Handles the shapes this framework produces:
+
+- fused multimodal prefill/training: causal over [bos | patches | text]
+  with a [B, S] slot-validity mask (left- or right-padded),
+- rectangular cached prefill (queries at absolute offset ``q_offset``
+  attending into a longer KV cache),
+- bidirectional ViT attention (``causal=False``, no mask).
+
+Design (see the tiled online-softmax scheme): grid (B, H, Lq/bq, S/bk) with
+the KV axis innermost ("arbitrary"); fp32 running max/sum/accumulator in
+VMEM scratch; deferred normalization (one divide at the last KV tile);
+causal tiles above the diagonal are skipped entirely. Backward is a
+``custom_vjp`` with separate dQ and dKV kernels sharing the
+``di = sum(o * do)`` precomputation, using the saved log-sum-exp residual.
+
+Single-token decode (Lq == 1) is HBM-bandwidth-bound, not MXU-bound — the
+wrapper routes it to the XLA path, which already streams the cache once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.3819763e38
+LANES = 128
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode on CPU (tests); compiled on TPU."""
+    return jax.default_backend() == "cpu"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# =============================== forward ====================================
+
+def _fwd_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, causal: bool, sm_scale: float, bq: int, bk: int,
+                num_kv_blocks: int, save_lse: bool):
+    b = pl.program_id(0)
+    i = pl.program_id(2)   # q block
+    j = pl.program_id(3)   # kv block
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_offset = q_off_ref[0]
+    if causal:
+        # skip tiles fully above the diagonal
+        last_q_abs = q_offset + (i + 1) * bq - 1
+        should_run = (j * bk) <= last_q_abs
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]                                    # [bq, D]
+        k = k_ref[0, 0]                                    # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+
+        mask = None
+        if causal:
+            qi = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                  + q_offset + i * bq)
+            kj = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+            mask = kj <= qi
+        if kmask_ref is not None:
+            start = pl.multiple_of(j * bk, bk)
+            km = kmask_ref[0, 0, pl.dslice(start, bk)][None, :] != 0  # [1, bk]
+            mask = km if mask is None else (mask & km)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[...]                                 # [bq, 128]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)          # [bq, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)                    # [bq, 128]
+        p = jnp.exp(s - m_next[:, :1])                      # [bq, bk]
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        acc_scr[...] *= alpha[:, :1]
+        v = v_ref[0, 0]                                     # [bk, D]
+        acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _store():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            m = m_scr[...][:, :1]
+            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _flash_fwd(q, k, v, kv_mask, q_offset, causal: bool, sm_scale: float,
+               bq: int, bk: int, save_lse: bool):
+    """q [B,H,Lq,D]; k/v [B,H,S,D]; kv_mask [B,S] int8 or None."""
+    B, H, Lq, D = q.shape
+    S = k.shape[2]
+    grid = (B, H, Lq // bq, S // bk)
+    num_kv_blocks = grid[3]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+    ]
+    args = [q, k, v]
+    if kv_mask is not None:
+        S_ = kv_mask.shape[-1]
+        in_specs.append(pl.BlockSpec((1, 1, S_),
+                                     lambda b, h, i, j, *_: (b, 0, 0)))
+        args.append(kv_mask)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0))]
+    if save_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lq, LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, i, j, *_: (b, h, i, 0)))
+
+    def kernel(q_off_ref, *refs):
+        if kv_mask is not None:
+            q_r, k_r, v_r, km_r = refs[:4]
+            rest = refs[4:]
+        else:
+            q_r, k_r, v_r = refs[:3]
+            km_r = None
+            rest = refs[3:]
+        if save_lse:
+            o_r, lse_r = rest[:2]
+            scr = rest[2:]
+        else:
+            o_r = rest[0]
+            lse_r = None
+            scr = rest[1:]
+        _fwd_kernel(q_off_ref, km_r, q_r, k_r, v_r, o_r, lse_r, *scr,
+                    causal=causal, sm_scale=sm_scale, bq=bq, bk=bk,
+                    num_kv_blocks=num_kv_blocks, save_lse=save_lse)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),   # m
+                pltpu.VMEM((bq, LANES), jnp.float32),   # l
+                pltpu.VMEM((bq, D), jnp.float32),       # acc
+            ],
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(jnp.asarray([q_offset], jnp.int32), *args)
+    o = outs[0]
+    lse = outs[1][..., 0] if save_lse else None
+    return o, lse
+
+
+# =============================== backward ===================================
+
+def _dq_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               di_ref, dq_ref, dq_scr, *, causal, sm_scale, bq, bk,
+               num_kv_blocks):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q_offset = q_off_ref[0]
+    should_run = ((j * bk) <= q_offset + (i + 1) * bq - 1) if causal else True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        mask = None
+        if causal:
+            qi = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                  + q_offset + i * bq)
+            kj = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+            mask = kj <= qi
+        if kmask_ref is not None:
+            start = pl.multiple_of(j * bk, bk)
+            km = kmask_ref[0, 0, pl.dslice(start, bk)][None, :] != 0
+            mask = km if mask is None else (mask & km)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+        lse = lse_ref[0, 0][:, :1]                     # [bq, 1]
+        p = jnp.exp(s - lse)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        di = di_ref[0, 0][:, :1]
+        ds = p * (dp - di) * sm_scale
+        dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal, sm_scale,
+                bq, bk, num_q_blocks):
+    b = pl.program_id(0)
+    j = pl.program_id(2)   # kv block (outer)
+    i = pl.program_id(3)   # q block (inner)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_offset = q_off_ref[0]
+    # causal: this kv tile only receives grads from q tiles at/after it
+    should_run = ((j * bk) <= q_offset + (i + 1) * bq - 1) if causal else True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        mask = None
+        if causal:
+            qi = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                  + q_offset + i * bq)
+            kj = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+            mask = kj <= qi
+        if kmask_ref is not None:
+            start = pl.multiple_of(j * bk, bk)
+            km = kmask_ref[0, 0, pl.dslice(start, bk)][None, :] != 0
+            mask = km if mask is None else (mask & km)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+        lse = lse_ref[0, 0][:, :1]
+        p = jnp.exp(s - lse)                               # [bq, bk]
+        do = do_ref[0, 0].astype(jnp.float32)              # [bq, D]
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [bk, D]
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        di = di_ref[0, 0][:, :1]
+        ds = (p * (dp - di) * sm_scale).astype(q.dtype)    # [bq, bk]
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [bk, D]
+
+    @pl.when(i == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
+               bq, bk):
+    B, H, Lq, D = q.shape
+    S = k.shape[2]
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    lse_b = jnp.broadcast_to(lse[..., None], (B, H, Lq, LANES))
+    di_b = jnp.broadcast_to(di[..., None], (B, H, Lq, LANES))
+    q_off_arr = jnp.asarray([q_offset], jnp.int32)
+
+    def build_specs(order):
+        """order: 'dq' (i outer, j inner) or 'dkv' (j outer, i inner)."""
+        if order == "dq":
+            qm = lambda b, h, i, j, *_: (b, h, i, 0)
+            km = lambda b, h, i, j, *_: (b, h, j, 0)
+            mm = lambda b, h, i, j, *_: (b, j)
+        else:
+            qm = lambda b, h, j, i, *_: (b, h, i, 0)
+            km = lambda b, h, j, i, *_: (b, h, j, 0)
+            mm = lambda b, h, j, i, *_: (b, j)
+        specs = [
+            pl.BlockSpec((1, 1, bq, D), qm),               # q
+            pl.BlockSpec((1, 1, bk, D), km),               # k
+            pl.BlockSpec((1, 1, bk, D), km),               # v
+            pl.BlockSpec((1, 1, bq, D), qm),               # do
+            pl.BlockSpec((1, 1, bq, LANES), qm),           # lse
+            pl.BlockSpec((1, 1, bq, LANES), qm),           # di
+        ]
+        return specs, mm
+
+    # --- dQ ---
+    def dq_kernel(q_off_ref, *refs):
+        if kv_mask is not None:
+            q_r, k_r, v_r, do_r, lse_r, di_r, km_r, dq_r, dq_s = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, di_r, dq_r, dq_s = refs
+            km_r = None
+        _dq_kernel(q_off_ref, km_r, q_r, k_r, v_r, do_r, lse_r, di_r, dq_r,
+                   dq_s, causal=causal, sm_scale=sm_scale, bq=bq, bk=bk,
+                   num_kv_blocks=S // bk)
+
+    in_specs, mm = build_specs("dq")
+    dq_args = [q, k, v, do, lse_b, di_b]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
+                                     lambda b, h, i, j, *_: (b, 0, 0)))
+        dq_args.append(kv_mask)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, Lq // bq, S // bk),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, 1, bq, D),
+                                    lambda b, h, i, j, *_: (b, h, i, 0))],
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(q_off_arr, *dq_args)[0]
+
+    # --- dK, dV ---
+    def dkv_kernel(q_off_ref, *refs):
+        if kv_mask is not None:
+            q_r, k_r, v_r, do_r, lse_r, di_r, km_r, dk_r, dv_r, dk_s, dv_s = refs
+        else:
+            q_r, k_r, v_r, do_r, lse_r, di_r, dk_r, dv_r, dk_s, dv_s = refs
+            km_r = None
+        _dkv_kernel(q_off_ref, km_r, q_r, k_r, v_r, do_r, lse_r, di_r,
+                    dk_r, dv_r, dk_s, dv_s, causal=causal, sm_scale=sm_scale,
+                    bq=bq, bk=bk, num_q_blocks=Lq // bq)
+
+    in_specs, mm = build_specs("dkv")
+    dkv_args = [q, k, v, do, lse_b, di_b]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
+                                     lambda b, h, j, i, *_: (b, 0, 0)))
+        dkv_args.append(kv_mask)
+    out_km = lambda b, h, j, i, *_: (b, h, j, 0)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, S // bk, Lq // bq),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, 1, bk, D), out_km),
+                       pl.BlockSpec((1, 1, bk, D), out_km)],
+            scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                            pltpu.VMEM((bk, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(q_off_arr, *dkv_args)
+    return dq, dk, dv
+
+
+# =============================== public =====================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk):
+    o, _ = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
+                      save_lse=False)
+    return o
+
+
+def _flash_vjp_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk):
+    o, lse = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
+                        save_lse=True)
+    return o, (q, k, v, kv_mask, q_offset, o, lse)
+
+
+def _flash_vjp_bwd(causal, sm_scale, bq, bk, res, do):
+    q, k, v, kv_mask, q_offset, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal,
+                            sm_scale, bq, bk)
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
+                    q_offset=0, sm_scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128) -> jax.Array:
+    """Flash attention in model layout q [B, Lq, H, D], k/v [B, Lk, H, D]
+    (KV heads already repeated for GQA); kv_mask [B, Lk] bool.
+
+    Pads Lq/Lk to tile multiples internally (padded KV is masked out;
+    padded queries are sliced off). Single-token decode falls back to XLA.
+    """
+    B, Lq, H, D = q.shape
+    S = k.shape[1]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if Lq < 8:  # decode: memory-bound, XLA path is at roofline already
+        from emmax_tpu.ops.attention import xla_attention
+
+        return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                             q_offset=q_offset)
+
+    bq = min(block_q, _ceil_to(Lq, 8))
+    bk = min(block_k, _ceil_to(S, LANES))
+    Lq_p = _ceil_to(Lq, bq)
+    S_p = _ceil_to(S, bk)
+
+    qt = jnp.moveaxis(q, 1, 2)   # [B, H, Lq, D]
+    kt = jnp.moveaxis(k, 1, 2)
+    vt = jnp.moveaxis(v, 1, 2)
+    if Lq_p != Lq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Lq_p - Lq), (0, 0)))
+    if S_p != S or kv_mask is None:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, S_p - S), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, S_p - S), (0, 0)))
+        base = (kv_mask if kv_mask is not None
+                else jnp.ones((B, S), jnp.bool_))
+        kv_mask = jnp.pad(base, ((0, 0), (0, S_p - S)))
+    kv_mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]
+
+    o = _flash(qt, kt, vt, kv_mask_i32, jnp.asarray(q_offset, jnp.int32),
+               causal, sm_scale, bq, bk)
+    o = o[:, :, :Lq]
+    return jnp.moveaxis(o, 1, 2)
