@@ -15,6 +15,7 @@ from typing import Dict, Tuple
 
 from emmax_tpu.models.llama import (LLAMA2_7B, LLAMA2_13B, MISTRAL_7B,
                                     LlamaConfig)
+from emmax_tpu.models.phi import PHI_2
 from emmax_tpu.models.vit import (CLIP_L, CLIP_L_336, DINOV2_L_REG4,
                                   DINOV2_L_REG4_384, IN1K_L, SIGLIP_SO400M,
                                   SIGLIP_SO400M_384, ViTConfig)
@@ -50,6 +51,7 @@ LLM_BACKBONES: Dict[str, Tuple[LlamaConfig, str]] = {
     "vicuna-v15-13b": (LLAMA2_13B, "vicuna"),
     "mistral-v0.1-7b-pure": (MISTRAL_7B, "mistral"),
     "mistral-v0.1-7b-instruct": (MISTRAL_7B, "mistral-instruct"),
+    "phi-2-3b": (PHI_2, "phi"),
 }
 
 

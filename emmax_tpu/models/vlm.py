@@ -31,7 +31,10 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class VLMConfig:
-    """Static architecture description (hashable: towers as a tuple)."""
+    """Static architecture description (hashable: towers as a tuple).
+
+    ``llm`` is a LlamaConfig (Llama-2/Mistral family) or PhiConfig; the
+    decoder implementation is dispatched on the config type."""
 
     vision: Tuple[Tuple[str, ViTConfig], ...]   # ordered (name, cfg) pairs
     llm: LlamaConfig
@@ -48,6 +51,23 @@ class VLMConfig:
         return counts.pop()
 
 
+def _llm_init(rng, llm_cfg, dtype):
+    from emmax_tpu.models.phi import PhiConfig, init_phi_params
+
+    if isinstance(llm_cfg, PhiConfig):
+        return init_phi_params(rng, llm_cfg, dtype)
+    return init_llama_params(rng, llm_cfg, dtype)
+
+
+def llm_apply(params, llm_cfg, inputs_embeds, **kw):
+    """Decoder dispatch by config type (Llama family vs Phi)."""
+    from emmax_tpu.models.phi import PhiConfig, phi_forward
+
+    if isinstance(llm_cfg, PhiConfig):
+        return phi_forward(params, llm_cfg, inputs_embeds, **kw)
+    return llama_forward(params, llm_cfg, inputs_embeds, **kw)
+
+
 def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32) -> Params:
     k_vision, k_proj, k_llm = jax.random.split(rng, 3)
     vision_keys = jax.random.split(k_vision, max(len(cfg.vision), 1))
@@ -56,7 +76,7 @@ def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32) -> Params
                    for k, (name, vcfg) in zip(vision_keys, cfg.vision)},
         "projector": init_projector_params(k_proj, cfg.arch_specifier,
                                            cfg.vision_dim, cfg.llm.dim, dtype),
-        "llm": init_llama_params(k_llm, cfg.llm, dtype),
+        "llm": _llm_init(k_llm, cfg.llm, dtype),
     }
 
 
@@ -135,7 +155,7 @@ def vlm_forward(
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, flabels, positions = fuse_multimodal(
         patch_embeds, input_embeds, mask, labels)
-    logits, new_cache = llama_forward(
+    logits, new_cache = llm_apply(
         params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
         kv_cache=kv_cache, attn_impl=attn_impl, remat=remat)
     loss = cross_entropy_loss(logits, flabels) if flabels is not None else None
@@ -147,8 +167,8 @@ def text_forward(params: Params, cfg: VLMConfig, input_ids: jax.Array,
                  remat: bool = False):
     """Unimodal (text-only) forward — reference ``prismatic.py:356-369``."""
     embeds = embed_tokens(params["llm"], input_ids)
-    logits, _ = llama_forward(params["llm"], cfg.llm, embeds, mask=mask,
-                              attn_impl=attn_impl, remat=remat)
+    logits, _ = llm_apply(params["llm"], cfg.llm, embeds, mask=mask,
+                          attn_impl=attn_impl, remat=remat)
     loss = cross_entropy_loss(logits, labels) if labels is not None else None
     return logits, loss
 

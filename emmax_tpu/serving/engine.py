@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emmax_tpu.models.llama import embed_tokens, init_kv_cache, llama_forward
-from emmax_tpu.models.vlm import VLMConfig, encode_images, fuse_multimodal
+from emmax_tpu.models.llama import embed_tokens, init_kv_cache
+from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal,
+                                  llm_apply)
 
 DEFAULT_BUCKETS = (32, 64, 96, 128, 192, 256)
 
@@ -70,9 +71,9 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
                                                   mask, None)
-    logits, cache = llama_forward(params["llm"], cfg.llm, embeds, mask=fmask,
-                                  positions=positions, kv_cache=cache,
-                                  attn_impl=attn_impl)
+    logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
+                              positions=positions, kv_cache=cache,
+                              attn_impl=attn_impl)
     first_tok = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
     next_pos = positions[:, -1] + 1  # per-row next rope position
 
@@ -85,7 +86,7 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
         out = out.at[:, t].set(jnp.where(done, eos_id, tok))
         done = done | (tok == eos_id)
         emb = embed_tokens(params["llm"], tok[:, None])
-        lg, new_cache = llama_forward(
+        lg, new_cache = llm_apply(
             params["llm"], cfg.llm, emb,
             positions=(next_pos + t)[:, None].astype(jnp.int32),
             kv_cache=cache, attn_impl=attn_impl)

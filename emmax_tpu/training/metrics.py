@@ -132,11 +132,14 @@ class _SmoothedMetrics:
         for t in self.trackers:
             t.finalize()
 
+    def status(self, epoch: int, lr: float) -> str:
+        m = self._means()
+        return (f"epoch {epoch:03d} step {self.global_step:06d} | "
+                f"loss={m.get('loss', float('nan')):.4f} lr={lr:.2e}")
+
 
 class Metrics(_SmoothedMetrics):
     """VLM pretraining metrics (loss / lr / step time)."""
-
-    status_keys = ("loss", "lr", "step_time_s")
 
 
 class VLAMetrics(_SmoothedMetrics):

@@ -55,6 +55,12 @@ _MOVE_TO_AXIS = {
     "yaw_upward": (1, "oz"),
     "rotate_clockwise": (-1, "oz"),
     "rotate_counterclockwise": (1, "oz"),
+    # Strict-superset extension: ``describe_move`` (GCOT/utils.py:363-393)
+    # verbalizes the yaw axis as "yaw clockwise/counterclockwise", which the
+    # reference grammar cannot parse (it fails the whole movement to
+    # [-100]*7). Reference-valid strings are unaffected by these entries.
+    "yaw_clockwise": (-1, "oz"),
+    "yaw_counterclockwise": (1, "oz"),
     "close_gripper": (-1, "grip"),
     "open_gripper": (1, "grip"),
 }
