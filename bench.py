@@ -3,7 +3,8 @@
 Measures the latency-critical serving path from SURVEY.md §3.2
 (``generate_actions``): multimodal prefill (2 ViT towers + projector +
 Llama-2-7B over ~320 fused tokens) + N greedy decode steps with KV cache,
-all inside one jitted on-device loop.
+all inside one jitted on-device loop; in bf16 and with int8 weight-only
+quantization of the LLM (decode is weight-bandwidth-bound).
 
 Prints ONE JSON line:
   metric  amortized frame→action rate (Hz) for a 128-token GCOT decode whose
@@ -25,12 +26,26 @@ import numpy as np
 
 DECODE_TOKENS = 128
 ACTIONS_PER_DECODE = 8  # typical POLICIES chunk (8 policies x 7 DoF)
-PROMPT_LEN_BUCKET = 64
+
+
+def _measure(engine, prompt, pixels, n_decode):
+    out = engine.generate_ids([prompt], pixels, max_new_tokens=n_decode)
+    jax.block_until_ready(out)  # warmup/compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = engine.generate_ids([prompt], pixels, max_new_tokens=n_decode)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main():
     from emmax_tpu.models.vlm import emma_x_vlm_config, init_vlm_params
+    from emmax_tpu.ops.image import (dinosiglip_transform_configs,
+                                     preprocess_for_towers)
     from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
+    from emmax_tpu.serving.quant import quantize_vlm_params
     from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 
     cfg = emma_x_vlm_config()
@@ -42,43 +57,53 @@ def main():
                    for s in jax.tree_util.tree_leaves(shapes))
 
     tok = ByteLevelTokenizer()
-    # never-EOS greedy with zero weights → deterministic full-length decode
-    engine = ServingEngine(cfg, params, tok,
-                           options=GenerateOptions(eos_id=tok.eos_id))
     prompt = ("In: What action should the robot take to achieve the "
               "instruction\nINSTRUCTION: \nPut the eggplant in the pot\n"
               "CURRENT GRIPPER: [104, 98]\nOut:")
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(1, 256, 256, 3), dtype=np.uint8)
-    from emmax_tpu.ops.image import preprocess_for_towers, \
-        dinosiglip_transform_configs
-
     pixels = preprocess_for_towers(jnp.asarray(img),
                                    dinosiglip_transform_configs())
     pixels = {k: v.astype(jnp.bfloat16) for k, v in pixels.items()}
+    opts = GenerateOptions(eos_id=tok.eos_id)
 
-    # warmup/compile
-    out = engine.generate_ids([prompt], pixels, max_new_tokens=DECODE_TOKENS)
-    jax.block_until_ready(out)
+    results = {}
+    engine = ServingEngine(cfg, params, tok, options=opts)
+    t_full = _measure(engine, prompt, pixels, DECODE_TOKENS)
+    t_short = _measure(engine, prompt, pixels, 16)
+    # linear model: t(n) = prefill + n * per_tok
+    per_tok = (t_full - t_short) / (DECODE_TOKENS - 16)
+    prefill = t_short - 16 * per_tok
+    results["bf16"] = {"total_s": t_full, "prefill_s": prefill,
+                       "decode_tok_s": 1.0 / per_tok}
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = engine.generate_ids([prompt], pixels,
-                                  max_new_tokens=DECODE_TOKENS)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    tok_s = DECODE_TOKENS / t
-    hz = ACTIONS_PER_DECODE / t
+    # build the int8 tree from shapes directly (quantizing on-device would
+    # transiently hold bf16+int8 = ~21 GB > HBM; real checkpoints quantize
+    # host-side at load)
+    del engine, params
+    q_shapes = jax.eval_shape(quantize_vlm_params, shapes)
+    qparams = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), q_shapes)
+    engine_q = ServingEngine(cfg, qparams, tok, options=opts)
+    tq_full = _measure(engine_q, prompt, pixels, DECODE_TOKENS)
+    tq_short = _measure(engine_q, prompt, pixels, 16)
+    per_tok_q = (tq_full - tq_short) / (DECODE_TOKENS - 16)
+    results["int8"] = {"total_s": tq_full,
+                       "prefill_s": tq_short - 16 * per_tok_q,
+                       "decode_tok_s": 1.0 / per_tok_q}
 
+    best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])
+    hz = ACTIONS_PER_DECODE / best["total_s"]
     print(json.dumps({
         "metric": "emma_x_7b_amortized_frame_to_action_hz",
         "value": round(hz, 3),
         "unit": "Hz",
         "vs_baseline": round(hz / 30.0, 4),
-        "decode_tokens_per_sec": round(tok_s, 1),
-        "total_s_per_frame": round(t, 4),
+        "best_variant": best_name,
+        "bf16_decode_tok_s": round(results["bf16"]["decode_tok_s"], 1),
+        "int8_decode_tok_s": round(results["int8"]["decode_tok_s"], 1),
+        "bf16_prefill_ms": round(results["bf16"]["prefill_s"] * 1e3, 1),
+        "int8_prefill_ms": round(results["int8"]["prefill_s"] * 1e3, 1),
         "decode_tokens": DECODE_TOKENS,
         "params_b": round(n_params / 1e9, 3),
         "device": str(jax.devices()[0]),

@@ -99,22 +99,37 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     }
 
 
+
+def mm(x, w):
+    """Matmul that understands quantized weights.
+
+    ``w`` is either a dense array or ``{"q8": int8 [..., in, out],
+    "scale": f32 [..., 1, out]}`` (per-output-channel symmetric int8,
+    ``emmax_tpu.serving.quant``). The int8→bf16 convert fuses into the
+    matmul so HBM traffic for the weight is halved — the win that matters
+    for batch-1 decode, which is weight-bandwidth-bound.
+    """
+    if isinstance(w, dict):
+        return (x @ w["q8"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+    return x @ w
+
+
 def _layer(h, layer_params, cos, sin, kv_mask, cfg: LlamaConfig,
            attn_impl: str):
     """One decoder layer (uncached path, causal)."""
     p = layer_params
     B, L, D = h.shape
     x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
-    q = (x @ p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
-    k = (x @ p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
-    v = (x @ p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+    q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+    k = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+    v = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn_out = multi_head_attention(q, k, v, kv_mask=kv_mask, causal=True,
                                     impl=attn_impl)
-    h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
+    h = h + mm(attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim), p["wo"])
     x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
-    h = h + (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+    h = h + mm(jax.nn.silu(mm(x, p["w_gate"])) * mm(x, p["w_up"]), p["w_down"])
     return h
 
 
@@ -166,22 +181,22 @@ def llama_forward(
             # compute current k/v first, merge into this layer's cache slice
             p = layer_params
             x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
-            k_new = (x @ p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
-            v_new = (x @ p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            k_new = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            v_new = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             k_new = apply_rope(k_new, cos, sin)
             k_c = jax.lax.dynamic_update_slice(k_c, k_new.astype(k_c.dtype),
                                                (0, t0, 0, 0))
             v_c = jax.lax.dynamic_update_slice(v_c, v_new.astype(v_c.dtype),
                                                (0, t0, 0, 0))
-            q = (x @ p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+            q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
             # query i (at slot t0+i) attends to valid slots j <= t0+i
             attn_out = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                             causal=True, q_offset=t0,
                                             impl=attn_impl)
-            h = h + attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim) @ p["wo"]
+            h = h + mm(attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim), p["wo"])
             x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
-            h = h + (jax.nn.silu(x @ p["w_gate"]) * (x @ p["w_up"])) @ p["w_down"]
+            h = h + mm(jax.nn.silu(mm(x, p["w_gate"])) * mm(x, p["w_up"]), p["w_down"])
             return h, (k_c, v_c)
 
         h, (k_all, v_all) = jax.lax.scan(
@@ -191,7 +206,7 @@ def llama_forward(
                      "len": t0 + L}
 
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
-    logits = (h @ params["lm_head"]).astype(logits_dtype)
+    logits = mm(h, params["lm_head"]).astype(logits_dtype)
     return logits, new_cache
 
 

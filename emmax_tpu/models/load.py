@@ -138,11 +138,13 @@ def convert_prismatic_pt(pt_path, cfg: VLMConfig):
 # --- public API --------------------------------------------------------------
 
 def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
-         init_if_missing: bool = False):
+         init_if_missing: bool = False, quantize_int8: bool = False):
     """Load a VLM. Returns (cfg, params, tokenizer, transforms, llm_family).
 
     ``model_id_or_path`` may be a registered model id (fresh init — no hub
-    downloads in this environment) or a run directory.
+    downloads in this environment) or a run directory. ``quantize_int8``
+    applies host-side weight-only int8 quantization to the LLM (the
+    reference's load_in_8bit equivalent, ``verify_openvla.py:31-60``).
     """
     path = Path(str(model_id_or_path))
     if path.is_dir():
@@ -172,19 +174,29 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
         params = init_vlm_params(jax.random.PRNGKey(0), cfg, dtype)
         transforms = get_image_transforms(mc.vision_backbone_id,
                                           mc.image_resize_strategy)
+    if quantize_int8:
+        import numpy as np
+
+        from emmax_tpu.serving.quant import quantize_vlm_params_np
+
+        host_params = jax.tree_util.tree_map(np.asarray, params)
+        del params
+        params = jax.tree_util.tree_map(
+            jnp.asarray, quantize_vlm_params_np(host_params))
     tokenizer = load_tokenizer(tokenizer_path)
     return cfg, params, tokenizer, transforms, family
 
 
 def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
-             init_if_missing: bool = False, attn_impl: str = "xla"):
+             init_if_missing: bool = False, attn_impl: str = "xla",
+             quantize_int8: bool = False):
     """Load a VLA policy (run dir with config + stats sidecars) →
     ``EmmaXVLA`` (reference: ``load_vla``, ``models/load.py:121-228``)."""
     from emmax_tpu.models.vla import EmmaXVLA
 
     cfg, params, tokenizer, transforms, family = load(
         path, dtype=dtype, tokenizer_path=tokenizer_path,
-        init_if_missing=init_if_missing)
+        init_if_missing=init_if_missing, quantize_int8=quantize_int8)
     norm_stats, proprio_stats = {}, None
     p = Path(str(path))
     stats_file = p / "dataset_statistics.json" if p.is_dir() else None

@@ -64,7 +64,7 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     runs entirely on-device.
     """
     B, L = input_ids.shape
-    compute_dtype = jax.tree_util.tree_leaves(params["llm"])[0].dtype
+    compute_dtype = params["llm"]["embed"].dtype  # robust under quantization
     cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
 
     patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)

@@ -1,0 +1,84 @@
+"""Int8 weight-only quantization for serving.
+
+TPU counterpart of the reference's bitsandbytes 8-bit inference path
+(``/root/reference/vla-scripts/extern/verify_openvla.py:31-60`` load_in_8bit):
+per-output-channel symmetric int8 for the LLM matmul weights. Batch-1 decode
+is weight-bandwidth-bound (one full read of the parameters per token), so
+halving weight bytes directly raises tokens/sec; the int8→bf16 convert fuses
+into the matmul (see ``emmax_tpu.models.llama.mm``).
+
+The embedding table stays bf16 (it is gathered, not streamed) and norms stay
+as-is. Vision towers/projector run once per frame in the compute-bound
+prefill and are left untouched by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., in, out] → {"q8": int8, "scale": f32 [..., 1, out]}."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q8": q, "scale": scale}
+
+
+def dequantize_weight(qw: Dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
+    return (qw["q8"].astype(jnp.float32) * qw["scale"]).astype(dtype)
+
+
+def quantize_llm_params(llm_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the decoder matmul weights + lm_head in place-of (returns a
+    new tree; embed/norms unchanged)."""
+    out = dict(llm_params)
+    layers = dict(llm_params["layers"])
+    for key in QUANT_KEYS:
+        if key in layers and not isinstance(layers[key], dict):
+            layers[key] = quantize_weight(layers[key])
+    out["layers"] = layers
+    if "lm_head" in out and not isinstance(out["lm_head"], dict):
+        out["lm_head"] = quantize_weight(out["lm_head"])
+    return out
+
+
+def quantize_vlm_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """VLM tree with the LLM subtree quantized."""
+    out = dict(params)
+    out["llm"] = quantize_llm_params(params["llm"])
+    return out
+
+
+def quantize_weight_np(w) -> Dict[str, Any]:
+    """Host-side (numpy) mirror of ``quantize_weight`` — used at load time so
+    the bf16 and int8 trees never coexist in HBM."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
+    scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return {"q8": q, "scale": scale}
+
+
+def quantize_vlm_params_np(params: Dict[str, Any]) -> Dict[str, Any]:
+    import numpy as np
+
+    out = dict(params)
+    layers = dict(params["llm"]["layers"])
+    for key in QUANT_KEYS:
+        if key in layers and not isinstance(layers[key], dict):
+            layers[key] = quantize_weight_np(np.asarray(layers[key]))
+    llm = dict(params["llm"])
+    llm["layers"] = layers
+    if "lm_head" in llm and not isinstance(llm["lm_head"], dict):
+        llm["lm_head"] = quantize_weight_np(np.asarray(llm["lm_head"]))
+    out["llm"] = llm
+    return out

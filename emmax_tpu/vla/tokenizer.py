@@ -100,23 +100,36 @@ class ByteLevelTokenizer:
         return None
 
     # -- protocol ------------------------------------------------------------
+    _SPECIAL_STRINGS = (("</s>", "eos_id"), ("<s>", "bos_id"),
+                        ("<PAD>", "pad_id"), ("<unk>", "unk_id"))
+
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         ids: List[int] = []
         if add_special_tokens:
             ids.append(self.bos_id)
         # SentencePiece-style word-boundary prefix before the first piece.
         ids.append(self.empty_token_id)
-        for ch in text:
+        i = 0
+        while i < len(text):
+            # literal special-token strings map to their ids (Llama contract:
+            # "</s>" in training targets becomes the EOS token)
+            matched = False
+            if text[i] == "<":
+                for s, attr in self._SPECIAL_STRINGS:
+                    if text.startswith(s, i):
+                        ids.append(getattr(self, attr))
+                        i += len(s)
+                        matched = True
+                        break
+            if matched:
+                continue
+            ch = text[i]
             aid = self._char_to_action_id(ch)
             if aid is not None:
                 ids.append(aid)
-            elif ch == "<" and text[text.index(ch):].startswith("</s>"):
-                # cheap handling of literal special strings is not needed for
-                # Emma-X prompts; "</s>" appears only via wrap_gpt and is
-                # handled by callers passing eos explicitly. Encode as bytes.
-                ids.extend(self._byte_base + b for b in ch.encode("utf-8"))
             else:
                 ids.extend(self._byte_base + b for b in ch.encode("utf-8"))
+            i += 1
         return ids[: self.model_max_length]
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
