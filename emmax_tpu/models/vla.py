@@ -100,9 +100,25 @@ class EmmaXVLA:
                                     max_new_tokens=max_new_tokens)[0]
 
     def generate_batch(self, images, prompt_texts: List[str],
-                       max_new_tokens: int = 512) -> List[str]:
-        return self.engine.generate(prompt_texts, self._pixels(images),
-                                    max_new_tokens=max_new_tokens)
+                       max_new_tokens: int = 512,
+                       return_string_probabilities: Optional[List[str]] = None):
+        """Batched generation; with ``return_string_probabilities`` returns
+        normalized probabilities over those strings' first tokens instead
+        (reference ``generate_batch``, ``prismatic.py:524-595`` — used for
+        True/False / multiple-choice VQA scoring)."""
+        pixels = self._pixels(images)
+        if return_string_probabilities is None:
+            return self.engine.generate(prompt_texts, pixels,
+                                        max_new_tokens=max_new_tokens)
+        # string → first token id (reference string2idx, prismatic.py:83-87)
+        candidate_ids = []
+        for s in return_string_probabilities:
+            ids = self.tokenizer.encode(s, add_special_tokens=False)
+            # drop the word-boundary piece; take the first content token
+            candidate_ids.append(ids[1] if len(ids) > 1 else ids[0])
+        probs = self.engine.first_token_probs(prompt_texts, pixels,
+                                              candidate_ids)
+        return [row.tolist() for row in probs]
 
     def generate_actions(self, image, prompt_text: str, type: str = "act",
                          max_new_tokens: int = 512

@@ -100,6 +100,24 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl"))
+def _prefill_last_logits(params, cfg: VLMConfig, input_ids, mask,
+                         pixel_values, *, cache_len: int,
+                         attn_impl: str = "xla"):
+    """Last-position logits of the multimodal prefill (for string scoring)."""
+    B, L = input_ids.shape
+    compute_dtype = params["llm"]["embed"].dtype
+    cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
+    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    input_embeds = embed_tokens(params["llm"], input_ids)
+    embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
+                                                  mask, None)
+    logits, _ = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
+                          positions=positions, kv_cache=cache,
+                          attn_impl=attn_impl)
+    return logits[:, -1].astype(jnp.float32)
+
+
 class ServingEngine:
     """Host-side wrapper: tokenizer/bucketing/padding around the jitted loop."""
 
@@ -137,6 +155,20 @@ class ServingEngine:
             max_new=max_new, cache_len=cache_len,
             eos_id=self.options.eos_id, attn_impl=self.attn_impl)
         return np.asarray(out)
+
+    def first_token_probs(self, prompts, pixel_values,
+                          candidate_ids) -> np.ndarray:
+        """Normalized probabilities of candidate first generated tokens
+        (reference ``generate_batch(return_string_probabilities=...)``,
+        ``prismatic.py:560-593``). Returns [B, n_candidates]."""
+        ids, mask = self._prepare(prompts)
+        cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + 8)
+        logits = _prefill_last_logits(self.params, self.cfg, ids, mask,
+                                      pixel_values, cache_len=cache_len,
+                                      attn_impl=self.attn_impl)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        sel = probs[:, np.asarray(candidate_ids)]
+        return sel / sel.sum(axis=-1, keepdims=True)
 
     def generate(self, prompts, pixel_values,
                  max_new_tokens: Optional[int] = None):

@@ -158,3 +158,12 @@ def run_discrete_vla_training(
     if ckpt_manager is not None:
         ckpt_manager.wait()
     return state
+
+
+# Name-parity aliases: the reference exposes three loops
+# (base_strategy.py:157-292, 296-486, 490-662). The VLM and RLDS loops share
+# this body — grad accumulation lives inside the train step, per-dataset
+# metrics inside the metrics container, and streaming loaders expose the
+# same ``epoch()`` interface.
+run_training = run_discrete_vla_training
+run_vla_training = run_discrete_vla_training
