@@ -28,6 +28,18 @@ DECODE_TOKENS = 128
 ACTIONS_PER_DECODE = 8  # typical POLICIES chunk (8 policies x 7 DoF)
 
 
+def _measure_batch(engine, prompts, pixels, n_decode):
+    out = engine.generate_ids(prompts, pixels, max_new_tokens=n_decode)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = engine.generate_ids(prompts, pixels, max_new_tokens=n_decode)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def _measure(engine, prompt, pixels, n_decode):
     out = engine.generate_ids([prompt], pixels, max_new_tokens=n_decode)
     jax.block_until_ready(out)  # warmup/compile
@@ -92,7 +104,19 @@ def main():
                        "prefill_s": tq_short - 16 * per_tok_q,
                        "decode_tok_s": 1.0 / per_tok_q}
 
-    best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])
+    # batched serving throughput (the reference is pinned to batch=1,
+    # modeling_prismatic.py:326): weight reads amortize over the batch
+    B = 8
+    imgs = rng.integers(0, 256, size=(B, 256, 256, 3), dtype=np.uint8)
+    pixelsB = preprocess_for_towers(jnp.asarray(imgs),
+                                    dinosiglip_transform_configs())
+    pixelsB = {k: v.astype(jnp.bfloat16) for k, v in pixelsB.items()}
+    tB = _measure_batch(engine_q, [prompt] * B, pixelsB, DECODE_TOKENS)
+    results["int8_b8"] = {"total_s": tB}
+
+    best_name, best = min(
+        ((k, v) for k, v in results.items() if k in ("bf16", "int8")),
+        key=lambda kv: kv[1]["total_s"])
     hz = ACTIONS_PER_DECODE / best["total_s"]
     print(json.dumps({
         "metric": "emma_x_7b_amortized_frame_to_action_hz",
@@ -104,6 +128,9 @@ def main():
         "int8_decode_tok_s": round(results["int8"]["decode_tok_s"], 1),
         "bf16_prefill_ms": round(results["bf16"]["prefill_s"] * 1e3, 1),
         "int8_prefill_ms": round(results["int8"]["prefill_s"] * 1e3, 1),
+        "int8_batch8_frames_per_s": round(8 / results["int8_b8"]["total_s"], 2),
+        "int8_batch8_agg_tok_s": round(8 * DECODE_TOKENS
+                                       / results["int8_b8"]["total_s"], 1),
         "decode_tokens": DECODE_TOKENS,
         "params_b": round(n_params / 1e9, 3),
         "device": str(jax.devices()[0]),

@@ -109,11 +109,16 @@ def run_discrete_vla_training(
     final_loss = float("nan")
     for epoch in range(start_epoch, loop_cfg.epochs):
         for batch in loader.epoch(epoch):
-            host_labels = batch["labels"] if isinstance(batch["labels"], np.ndarray) else None
+            labels = batch["labels"]
+            # lazy: D2H copy only on solver-eval steps
+            get_host_labels = (
+                (lambda l=labels: np.asarray(l))
+                if not isinstance(labels, (list, tuple)) else lambda: None)
             device_batch = {k: v for k, v in batch.items()
                             if isinstance(v, np.ndarray) or hasattr(v, "shape")
                             or isinstance(v, dict)}
             if mesh is not None:
+                # no-op for batches already placed by a prefetching loader
                 device_batch = shard_batch(device_batch, mesh)
             state, m = train_step(state, device_batch)
             step += 1
@@ -132,7 +137,7 @@ def run_discrete_vla_training(
 
             if (solver is not None and eval_fn is not None
                     and step % loop_cfg.eval_every == 0
-                    and host_labels is not None):
+                    and (host_labels := get_host_labels()) is not None):
                 preds = np.asarray(eval_fn(state.params, device_batch))
                 gts, prs = teacher_forced_texts(
                     preds, host_labels, vlm_cfg.num_patches, tokenizer)

@@ -149,12 +149,14 @@ def main(cfg: TrainConfig) -> None:
                                 max_length=vlm_cfg.llm.max_seq_len),
         seed=cfg.seed, num_shards=jax.process_count(),
         shard_index=jax.process_index())
+    from emmax_tpu.data.prefetch import PrefetchingLoader
 
     # --- mesh + params + optimizer ---
     mesh_shape = strategy_to_mesh_shape(vla.train_strategy, n_devices,
                                         jax.process_count())
     mesh = make_mesh(mesh_shape)
     overwatch.info(f"mesh {dict(zip(('replica', 'fsdp', 'tensor'), mesh_shape))}")
+    loader = PrefetchingLoader(loader, mesh)  # overlap host pipeline w/ step
 
     if cfg.pretrained_checkpoint is not None and not cfg.is_resume:
         from emmax_tpu.models.load import convert_prismatic_pt, _cast_tree
