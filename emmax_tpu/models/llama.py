@@ -176,32 +176,43 @@ def llama_forward(
             (0, t0),
         )
 
-        def body(h, xs):
-            layer_params, k_c, v_c = xs
-            # compute current k/v first, merge into this layer's cache slice
-            p = layer_params
+        # fori_loop (NOT scan) over layers: scan would re-stack the whole
+        # [n_layers, B, S, KV, hd] cache as fresh `ys` every call — a full
+        # cache copy per decoded token (~2x cache bytes of HBM traffic).
+        # With fori_loop the cache is loop-carried state and the
+        # dynamic_update_slice aliases in place.
+        def body(i, carry):
+            h, k_all, v_all = carry
+            p = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                params["layers"])
             x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
             k_new = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             v_new = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             k_new = apply_rope(k_new, cos, sin)
-            k_c = jax.lax.dynamic_update_slice(k_c, k_new.astype(k_c.dtype),
-                                               (0, t0, 0, 0))
-            v_c = jax.lax.dynamic_update_slice(v_c, v_new.astype(v_c.dtype),
-                                               (0, t0, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new.astype(k_all.dtype)[None], (i, 0, t0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new.astype(v_all.dtype)[None], (i, 0, t0, 0, 0))
+            k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+            v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
             q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
             # query i (at slot t0+i) attends to valid slots j <= t0+i
             attn_out = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                             causal=True, q_offset=t0,
                                             impl=attn_impl)
-            h = h + mm(attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim), p["wo"])
+            h = h + mm(attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim),
+                       p["wo"])
             x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
-            h = h + mm(jax.nn.silu(mm(x, p["w_gate"])) * mm(x, p["w_up"]), p["w_down"])
-            return h, (k_c, v_c)
+            h = h + mm(jax.nn.silu(mm(x, p["w_gate"])) * mm(x, p["w_up"]),
+                       p["w_down"])
+            return (h, k_all, v_all)
 
-        h, (k_all, v_all) = jax.lax.scan(
-            body, inputs_embeds,
-            (params["layers"], kv_cache["k"], kv_cache["v"]))
+        h, k_all, v_all = jax.lax.fori_loop(
+            0, cfg.n_layers, body,
+            (inputs_embeds, kv_cache["k"], kv_cache["v"]))
         new_cache = {"k": k_all, "v": v_all, "mask": slot_mask,
                      "len": t0 + L}
 
