@@ -15,7 +15,7 @@ small, cacheable set of shapes instead of one compile per batch.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -26,7 +26,6 @@ Everything here is host-side input plumbing; nothing imports JAX.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 

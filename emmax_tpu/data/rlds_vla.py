@@ -10,7 +10,7 @@ action tokens (+ optional stop token). Built on the tf.data pipeline in
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -18,11 +18,8 @@ import ast
 import json
 import re
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Protocol, Sequence
+from typing import Dict, Optional, Protocol, Sequence
 
-import numpy as np
-
-from emmax_tpu.gcot.verbalize import describe_move
 from emmax_tpu.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch(__name__)

@@ -10,7 +10,7 @@ key-frame selection. Uses sklearn's HDBSCAN (the reference used the
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

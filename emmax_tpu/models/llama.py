@@ -16,7 +16,6 @@ tests in ``tests/test_llama_parity.py``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -50,7 +50,7 @@ def _model_cfg_from_json(blob: dict):
         return (m["vision_backbone_id"], m["llm_backbone_id"],
                 m["arch_specifier"], m.get("image_resize_strategy", "resize-naive"))
     if "vla" in blob:
-        from emmax_tpu.conf import ModelConfig, VLAConfig
+        from emmax_tpu.conf import ModelConfig
 
         base_vlm = blob["vla"]["base_vlm"]
         mc = ModelConfig.get_choice_class(str(base_vlm))()

@@ -135,28 +135,36 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
             (mask if mask is not None else jnp.ones((B, L), jnp.bool_)),
             (0, t0))
 
-        def body(h, xs):
-            p, k_c, v_c = xs
+        # fori_loop for in-place cache updates (see llama.py — scan would
+        # copy the whole cache per decoded token)
+        def body(i, carry):
+            h, k_all, v_all = carry
+            p = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                       keepdims=False),
+                params["layers"])
             x = layer_norm(h, p["ln_scale"], p["ln_bias"], cfg.norm_eps)
             q = (x @ p["wq"] + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             k = (x @ p["wk"] + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             v = (x @ p["wv"] + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
             k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
-            k_c = jax.lax.dynamic_update_slice(k_c, k.astype(k_c.dtype),
-                                               (0, t0, 0, 0))
-            v_c = jax.lax.dynamic_update_slice(v_c, v.astype(v_c.dtype),
-                                               (0, t0, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], (i, 0, t0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], (i, 0, t0, 0, 0))
+            k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+            v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
             attn = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                         causal=True, q_offset=t0,
                                         impl=attn_impl)
             attn = attn.reshape(B, L, -1) @ p["wo"] + p["bo"]
             mlp = gelu_new(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
-            return h + attn + mlp, (k_c, v_c)
+            return (h + attn + mlp, k_all, v_all)
 
-        h, (k_all, v_all) = jax.lax.scan(
-            body, inputs_embeds,
-            (params["layers"], kv_cache["k"], kv_cache["v"]))
+        h, k_all, v_all = jax.lax.fori_loop(
+            0, cfg.n_layers, body,
+            (inputs_embeds, kv_cache["k"], kv_cache["v"]))
         new_cache = {"k": k_all, "v": v_all, "mask": slot_mask, "len": t0 + L}
 
     h = layer_norm(h, params["final_norm"]["scale"],

@@ -17,7 +17,7 @@ accepts a single frame or a list of frames).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +28,7 @@ from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
 from emmax_tpu.vla.action_tokenizer import (ActionTokenizer,
                                             unnormalize_actions,
                                             unnormalize_proprio)
-from emmax_tpu.vla.prompting import PromptBuilder, get_prompt_builder
+from emmax_tpu.vla.prompting import get_prompt_builder
 from emmax_tpu.vla.solver import Solver
 
 

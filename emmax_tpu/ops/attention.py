@@ -12,8 +12,6 @@ replacement for the reference's flash-attn-2 CUDA dependency,
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

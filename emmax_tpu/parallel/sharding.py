@@ -24,7 +24,7 @@ With mesh (1, N, 1) this reduces exactly to FSDP full-shard semantics
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np

@@ -19,8 +19,6 @@ import re
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
-import jax
-
 from emmax_tpu.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch(__name__)

@@ -12,7 +12,7 @@ only" stages (``llama2.py:101-102``) by masking along the layer axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import Optional
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from emmax_tpu.conf import VLAConfig, config_to_dict, dump_config, parse_config
+from emmax_tpu.conf import VLAConfig, config_to_dict, parse_config
 from emmax_tpu.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch("train")
