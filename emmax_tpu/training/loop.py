@@ -165,6 +165,46 @@ def run_discrete_vla_training(
     return state
 
 
+def run_validation(*, vlm_cfg: VLMConfig, params, eval_fn, loader,
+                   tokenizer, solver, run_dir, epoch: int = 0) -> dict:
+    """Validation pass dumping ``validation_results/epoch_{n}_{rank}.json``
+    (reference ``base_strategy.py:114-155``): teacher-forced predictions +
+    Solver metrics over the val loader."""
+    import json
+    from pathlib import Path
+
+    import jax
+
+    records = []
+    accs, l1s = [], []
+    for batch in loader.epoch(epoch):
+        labels = batch["labels"]
+        host_labels = (np.asarray(labels)
+                       if not isinstance(labels, (list, tuple)) else None)
+        if host_labels is None:
+            continue
+        device_batch = {k: v for k, v in batch.items()
+                        if isinstance(v, np.ndarray) or hasattr(v, "shape")
+                        or isinstance(v, dict)}
+        preds = np.asarray(eval_fn(params, device_batch))
+        gts, prs = teacher_forced_texts(preds, host_labels,
+                                        vlm_cfg.num_patches, tokenizer)
+        _, a_acc, l1, _, _, _ = solver.evaluate_batch(gts, prs)
+        accs.extend(a_acc)
+        l1s.extend(l1)
+        records.extend({"ground_truth": g, "prediction": p}
+                       for g, p in zip(gts, prs))
+    out_dir = Path(run_dir) / "validation_results"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rank = jax.process_index()
+    summary = {"epoch": epoch, "action_accuracy": float(np.mean(accs or [0])),
+               "l1": float(np.mean(l1s or [0])), "n": len(records)}
+    with open(out_dir / f"epoch_{epoch}_{rank}.json", "w") as f:
+        json.dump({"summary": summary, "records": records}, f, indent=2)
+    overwatch.info(f"[validation] {summary}")
+    return summary
+
+
 # Name-parity aliases: the reference exposes three loops
 # (base_strategy.py:157-292, 296-486, 490-662). The VLM and RLDS loops share
 # this body — grad accumulation lives inside the train step, per-dataset

@@ -84,13 +84,16 @@ class ByteLevelTokenizer:
         self._byte_base = 4
         self.pad_id = self.vocab_size  # added token, first id past base vocab
         self.padded_vocab_size = pad_to_multiple(self.vocab_size + 1, 64)
-        self._action_lo = self.vocab_size - ACTION_REGION_SIZE
+        # action region never overlaps the byte/special region (tiny test
+        # vocabs would otherwise have every id decode as an action char)
+        self._action_lo = max(self.vocab_size - ACTION_REGION_SIZE,
+                              self._byte_base + 256)
 
     # -- helpers -------------------------------------------------------------
     def _char_to_action_id(self, ch: str) -> Optional[int]:
         cp = ord(ch)
         k = cp - _PUA_BASE
-        if 1 <= k <= ACTION_REGION_SIZE:
+        if 1 <= k <= ACTION_REGION_SIZE and self.vocab_size - k >= self._action_lo:
             return self.vocab_size - k
         return None
 

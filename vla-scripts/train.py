@@ -42,6 +42,7 @@ class TrainConfig:
 
     pretrained_checkpoint: Optional[Path] = None       # resume / base VLA
     is_resume: bool = False
+    auto_resume: bool = True                           # pick up run-dir ckpts
     resume_step: Optional[int] = None
     resume_epoch: Optional[int] = None
 
@@ -182,6 +183,10 @@ def main(cfg: TrainConfig) -> None:
 
     ckpt = CheckpointManager(run_dir)
     start_step, start_epoch = 0, 0
+    if cfg.auto_resume and not cfg.is_resume and ckpt.latest() is not None:
+        overwatch.info(f"auto-resuming from {ckpt.latest().name} "
+                       "(crash-recovery; disable with --auto_resume false)")
+        cfg.is_resume = True
     if cfg.is_resume:
         template = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
