@@ -397,23 +397,25 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
 
 # =============================== public =====================================
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk, bq_bwd,
+           bk_bwd):
     o, _ = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
                       save_lse=False)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk):
+def _flash_vjp_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
+                   bq_bwd, bk_bwd):
     o, lse = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
                         save_lse=True)
     return o, (q, k, v, kv_mask, q_offset, o, lse)
 
 
-def _flash_vjp_bwd(causal, sm_scale, bq, bk, res, do):
+def _flash_vjp_bwd(causal, sm_scale, bq, bk, bq_bwd, bk_bwd, res, do):
     q, k, v, kv_mask, q_offset, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal,
-                            sm_scale, bq, bk)
+                            sm_scale, bq_bwd, bk_bwd)
     return dq, dk, dv, None, None
 
 
@@ -422,7 +424,9 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
                     q_offset=0, sm_scale: Optional[float] = None,
-                    block_q: int = 128, block_k: int = 128) -> jax.Array:
+                    block_q: int = 512, block_k: int = 256,
+                    block_q_bwd: int = 256, block_k_bwd: int = 256
+                    ) -> jax.Array:
     """Flash attention in model layout q [B, Lq, H, D], k/v [B, Lk, H, D]
     (KV heads already repeated for GQA); kv_mask [B, Lk] bool.
 
@@ -439,8 +443,22 @@ def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                              q_offset=q_offset)
 
-    bq = min(block_q, _ceil_to(Lq, 8))
-    bk = min(block_k, _ceil_to(S, LANES))
+    # Block selection: when the whole (8/128-aligned) sequence fits one
+    # block, use a single block for fwd and bwd (no padding blowup for odd
+    # lengths like ViT's 257 tokens); otherwise use the requested sizes,
+    # which must nest (bq % bq_bwd == 0) so one padded length serves both.
+    q_cover = _ceil_to(Lq, 8)
+    if q_cover <= block_q:
+        bq = bq_bwd = q_cover
+    else:
+        bq, bq_bwd = block_q, min(block_q_bwd, block_q)
+        assert bq % bq_bwd == 0, (bq, bq_bwd)
+    s_cover = _ceil_to(S, LANES)
+    if s_cover <= block_k:
+        bk = bk_bwd = s_cover
+    else:
+        bk, bk_bwd = block_k, min(block_k_bwd, block_k)
+        assert bk % bk_bwd == 0, (bk, bk_bwd)
     Lq_p = _ceil_to(Lq, bq)
     S_p = _ceil_to(S, bk)
 
@@ -458,6 +476,6 @@ def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     kv_mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]
 
     o = _flash(qt, kt, vt, kv_mask_i32, jnp.asarray(q_offset, jnp.int32),
-               causal, sm_scale, bq, bk)
+               causal, sm_scale, bq, bk, bq_bwd, bk_bwd)
     o = o[:, :, :Lq]
     return jnp.moveaxis(o, 1, 2)
