@@ -103,8 +103,9 @@ def main(cfg: TrainConfig) -> None:
 
     # --- model + tokenizer ---
     if cfg.smoke_test:
-        vlm_cfg = tiny_vlm_config(vocab_size=512)
         tokenizer = ByteLevelTokenizer(vocab_size=512)
+        # model vocab covers the tokenizer's padded vocab (incl. <PAD>)
+        vlm_cfg = tiny_vlm_config(vocab_size=tokenizer.padded_vocab_size)
         transforms = {name: ImageTransformConfig(size=v.img_size)
                       for name, v in vlm_cfg.vision}
         family = "llama2-pure"
