@@ -79,44 +79,56 @@ def main():
     pixels = {k: v.astype(jnp.bfloat16) for k, v in pixels.items()}
     opts = GenerateOptions(eos_id=tok.eos_id)
 
+    # each variant is best-effort: the driver must always get the JSON line
     results = {}
-    engine = ServingEngine(cfg, params, tok, options=opts)
-    t_full = _measure(engine, prompt, pixels, DECODE_TOKENS)
-    t_short = _measure(engine, prompt, pixels, 16)
-    # linear model: t(n) = prefill + n * per_tok
-    per_tok = (t_full - t_short) / (DECODE_TOKENS - 16)
-    prefill = t_short - 16 * per_tok
-    results["bf16"] = {"total_s": t_full, "prefill_s": prefill,
-                       "decode_tok_s": 1.0 / per_tok}
+    extras = {}
+    try:
+        engine = ServingEngine(cfg, params, tok, options=opts)
+        t_full = _measure(engine, prompt, pixels, DECODE_TOKENS)
+        t_short = _measure(engine, prompt, pixels, 16)
+        # linear model: t(n) = prefill + n * per_tok
+        per_tok = (t_full - t_short) / (DECODE_TOKENS - 16)
+        results["bf16"] = {"total_s": t_full,
+                           "prefill_s": t_short - 16 * per_tok,
+                           "decode_tok_s": 1.0 / per_tok}
+        extras["bf16_decode_tok_s"] = round(1.0 / per_tok, 1)
+        extras["bf16_prefill_ms"] = round(results["bf16"]["prefill_s"] * 1e3, 1)
+        del engine, params
+    except Exception as e:  # pragma: no cover
+        extras["bf16_error"] = str(e)[:120]
 
-    # build the int8 tree from shapes directly (quantizing on-device would
-    # transiently hold bf16+int8 = ~21 GB > HBM; real checkpoints quantize
-    # host-side at load)
-    del engine, params
-    q_shapes = jax.eval_shape(quantize_vlm_params, shapes)
-    qparams = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), q_shapes)
-    engine_q = ServingEngine(cfg, qparams, tok, options=opts)
-    tq_full = _measure(engine_q, prompt, pixels, DECODE_TOKENS)
-    tq_short = _measure(engine_q, prompt, pixels, 16)
-    per_tok_q = (tq_full - tq_short) / (DECODE_TOKENS - 16)
-    results["int8"] = {"total_s": tq_full,
-                       "prefill_s": tq_short - 16 * per_tok_q,
-                       "decode_tok_s": 1.0 / per_tok_q}
+    try:
+        # build the int8 tree from shapes directly (quantizing on-device
+        # would transiently hold bf16+int8 = ~21 GB > HBM; real checkpoints
+        # quantize host-side at load)
+        q_shapes = jax.eval_shape(quantize_vlm_params, shapes)
+        qparams = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), q_shapes)
+        engine_q = ServingEngine(cfg, qparams, tok, options=opts)
+        tq_full = _measure(engine_q, prompt, pixels, DECODE_TOKENS)
+        tq_short = _measure(engine_q, prompt, pixels, 16)
+        per_tok_q = (tq_full - tq_short) / (DECODE_TOKENS - 16)
+        results["int8"] = {"total_s": tq_full,
+                           "prefill_s": tq_short - 16 * per_tok_q,
+                           "decode_tok_s": 1.0 / per_tok_q}
+        extras["int8_decode_tok_s"] = round(1.0 / per_tok_q, 1)
+        extras["int8_prefill_ms"] = round(results["int8"]["prefill_s"] * 1e3, 1)
 
-    # batched serving throughput (the reference is pinned to batch=1,
-    # modeling_prismatic.py:326): weight reads amortize over the batch
-    B = 8
-    imgs = rng.integers(0, 256, size=(B, 256, 256, 3), dtype=np.uint8)
-    pixelsB = preprocess_for_towers(jnp.asarray(imgs),
-                                    dinosiglip_transform_configs())
-    pixelsB = {k: v.astype(jnp.bfloat16) for k, v in pixelsB.items()}
-    tB = _measure_batch(engine_q, [prompt] * B, pixelsB, DECODE_TOKENS)
-    results["int8_b8"] = {"total_s": tB}
+        # batched serving throughput (the reference is pinned to batch=1,
+        # modeling_prismatic.py:326): weight reads amortize over the batch
+        B = 8
+        imgs = rng.integers(0, 256, size=(B, 256, 256, 3), dtype=np.uint8)
+        pixelsB = preprocess_for_towers(jnp.asarray(imgs),
+                                        dinosiglip_transform_configs())
+        pixelsB = {k: v.astype(jnp.bfloat16) for k, v in pixelsB.items()}
+        tB = _measure_batch(engine_q, [prompt] * B, pixelsB, DECODE_TOKENS)
+        extras["int8_batch8_frames_per_s"] = round(B / tB, 2)
+        extras["int8_batch8_agg_tok_s"] = round(B * DECODE_TOKENS / tB, 1)
+    except Exception as e:  # pragma: no cover
+        extras["int8_error"] = str(e)[:120]
 
-    best_name, best = min(
-        ((k, v) for k, v in results.items() if k in ("bf16", "int8")),
-        key=lambda kv: kv[1]["total_s"])
+    assert results, "no benchmark variant succeeded"
+    best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])
     hz = ACTIONS_PER_DECODE / best["total_s"]
     print(json.dumps({
         "metric": "emma_x_7b_amortized_frame_to_action_hz",
@@ -124,13 +136,7 @@ def main():
         "unit": "Hz",
         "vs_baseline": round(hz / 30.0, 4),
         "best_variant": best_name,
-        "bf16_decode_tok_s": round(results["bf16"]["decode_tok_s"], 1),
-        "int8_decode_tok_s": round(results["int8"]["decode_tok_s"], 1),
-        "bf16_prefill_ms": round(results["bf16"]["prefill_s"] * 1e3, 1),
-        "int8_prefill_ms": round(results["int8"]["prefill_s"] * 1e3, 1),
-        "int8_batch8_frames_per_s": round(8 / results["int8_b8"]["total_s"], 2),
-        "int8_batch8_agg_tok_s": round(8 * DECODE_TOKENS
-                                       / results["int8_b8"]["total_s"], 1),
+        **extras,
         "decode_tokens": DECODE_TOKENS,
         "params_b": round(n_params / 1e9, 3),
         "device": str(jax.devices()[0]),

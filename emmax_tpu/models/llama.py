@@ -169,17 +169,35 @@ def llama_forward(
     else:
         S = kv_cache["k"].shape[2]
         t0 = kv_cache["len"]
-        slot_mask = jax.lax.dynamic_update_slice(
-            kv_cache["mask"],
-            (mask if mask is not None else jnp.ones((B, L), jnp.bool_)),
-            (0, t0),
-        )
+        per_row = jnp.asarray(t0).ndim > 0   # continuous batching cursors
+        new_valid = (mask if mask is not None
+                     else jnp.ones((B, L), jnp.bool_))
+        if per_row:
+            slot_mask = jax.vmap(
+                lambda m, v, t: jax.lax.dynamic_update_slice(m, v, (t,))
+            )(kv_cache["mask"], new_valid, t0)
+        else:
+            slot_mask = jax.lax.dynamic_update_slice(
+                kv_cache["mask"], new_valid, (0, t0))
 
         # fori_loop (NOT scan) over layers: scan would re-stack the whole
         # [n_layers, B, S, KV, hd] cache as fresh `ys` every call — a full
         # cache copy per decoded token (~2x cache bytes of HBM traffic).
         # With fori_loop the cache is loop-carried state and the
         # dynamic_update_slice aliases in place.
+        if per_row:
+            # per-row cursors (continuous batching): vmapped row updates
+            def _write(cache_all, new, i):
+                updated = jax.vmap(
+                    lambda c, n, t: jax.lax.dynamic_update_slice(
+                        c, n, (t, 0, 0)))(cache_all[i], new, t0)
+                return cache_all.at[i].set(updated)
+        else:
+            # single 5-D in-place update (the tuned decode hot path)
+            def _write(cache_all, new, i):
+                return jax.lax.dynamic_update_slice(
+                    cache_all, new[None], (i, 0, t0, 0, 0))
+
         def body(i, carry):
             h, k_all, v_all = carry
             p = jax.tree_util.tree_map(
@@ -190,10 +208,8 @@ def llama_forward(
             k_new = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             v_new = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             k_new = apply_rope(k_new, cos, sin)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k_new.astype(k_all.dtype)[None], (i, 0, t0, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v_new.astype(v_all.dtype)[None], (i, 0, t0, 0, 0))
+            k_all = _write(k_all, k_new.astype(k_all.dtype), i)
+            v_all = _write(v_all, v_new.astype(v_all.dtype), i)
             k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
             v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
             q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)

@@ -24,12 +24,20 @@ def _repeat_kv(k, n_rep: int):
 
 def _dense_mask(B: int, q_len: int, kv_len: int, kv_mask, causal: bool,
                 q_offset):
-    """[B or 1, 1, q_len, kv_len] bool (True = attend)."""
+    """[B or 1, 1, q_len, kv_len] bool (True = attend).
+
+    ``q_offset`` may be a scalar or a per-row [B] vector (continuous
+    batching: every row sits at its own cache cursor)."""
     mask = None
     if causal:
-        qi = jnp.arange(q_len)[:, None] + q_offset
-        kj = jnp.arange(kv_len)[None, :]
-        mask = (kj <= qi)[None, None]
+        qo = jnp.asarray(q_offset)
+        kj = jnp.arange(kv_len)
+        if qo.ndim == 0:
+            qi = jnp.arange(q_len)[:, None] + qo
+            mask = (kj[None, :] <= qi)[None, None]
+        else:
+            qi = qo[:, None] + jnp.arange(q_len)[None, :]      # [B, Lq]
+            mask = (kj[None, None, :] <= qi[:, :, None])[:, None]
     if kv_mask is not None:
         km = kv_mask[:, None, None, :]
         mask = km if mask is None else (mask & km)
@@ -64,6 +72,10 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                              q_offset=q_offset)
     if impl == "pallas":
+        if getattr(jnp.asarray(q_offset), "ndim", 0) > 0:
+            # per-row cursors (continuous batching) — xla path
+            return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                                 q_offset=q_offset)
         from emmax_tpu.ops.flash_attention import flash_attention
 
         n_rep = q.shape[2] // k.shape[2]
