@@ -188,7 +188,7 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
 
 
 def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
-             init_if_missing: bool = False, attn_impl: str = "xla",
+             init_if_missing: bool = False, attn_impl: str = "auto",
              quantize_int8: bool = False):
     """Load a VLA policy (run dir with config + stats sidecars) →
     ``EmmaXVLA`` (reference: ``load_vla``, ``models/load.py:121-228``)."""

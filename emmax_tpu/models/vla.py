@@ -51,7 +51,7 @@ class EmmaXVLA:
         norm_stats: Optional[dict] = None,
         proprio_stats: Optional[dict] = None,
         llm_family: str = "llama2-pure",
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         action_dim: int = 7,
         options: Optional[GenerateOptions] = None,
     ) -> None:

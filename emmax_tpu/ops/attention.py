@@ -61,13 +61,22 @@ def xla_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """"auto" → pallas on TPU, xla elsewhere (CPU tests, interpret mode)."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
                          q_offset=0, impl: str = "xla") -> jax.Array:
     """Unified attention entry point.
 
     q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; kv_mask [B, Lk] bool or None;
     ``q_offset`` may be a traced scalar (decode step index).
+    ``impl``: "xla" | "pallas" | "auto".
     """
+    impl = resolve_attn_impl(impl)
     if impl == "xla":
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                              q_offset=q_offset)

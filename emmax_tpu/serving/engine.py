@@ -123,7 +123,7 @@ class ServingEngine:
 
     def __init__(self, cfg: VLMConfig, params, tokenizer,
                  options: Optional[GenerateOptions] = None,
-                 attn_impl: str = "xla", buckets=DEFAULT_BUCKETS) -> None:
+                 attn_impl: str = "auto", buckets=DEFAULT_BUCKETS) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer

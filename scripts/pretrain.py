@@ -36,7 +36,7 @@ class PretrainConfig:
     pretrained_checkpoint: Optional[Path] = None  # e.g. the align stage dir
     seed: int = 7
     tokenizer_path: Optional[str] = None
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     max_steps: Optional[int] = None
     smoke_test: bool = False
     trackers: str = "jsonl"

@@ -52,7 +52,7 @@ class TrainConfig:
     seed: int = 7
 
     tokenizer_path: Optional[str] = None               # real Llama-2 tokenizer
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     mask_inst: bool = True
     smoke_test: bool = False                           # tiny model + synthetic data
     trackers: str = "jsonl"                            # comma-separated
