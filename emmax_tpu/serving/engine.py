@@ -36,9 +36,11 @@ DEFAULT_BUCKETS = (32, 64, 96, 128, 192, 256)
 class GenerateOptions:
     max_new_tokens: int = 512
     eos_id: int = 2
-    # greedy only for now — matches reference inference (do_sample=False,
-    # openvla_utils.py:216); sampling hooks can be added via temperature
+    # temperature 0 = greedy (the reference's only evaluated mode,
+    # openvla_utils.py:216); > 0 samples with optional nucleus top_p
     temperature: float = 0.0
+    top_p: float = 1.0
+    seed: int = 0
 
 
 def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
@@ -52,12 +54,30 @@ def _round_up(n: int, m: int = 128) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _select_token(logits_f32, key, temperature: float, top_p: float):
+    """Greedy (temperature == 0) or temperature/nucleus sampling."""
+    if temperature == 0.0:
+        return jnp.argmax(logits_f32, axis=-1)
+    logits = logits_f32 / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest logit still inside the nucleus
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new", "cache_len", "eos_id",
-                                   "attn_impl"),
+                                   "attn_impl", "temperature", "top_p"),
          donate_argnames=())
 def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
-                         pixel_values, *, max_new: int, cache_len: int,
-                         eos_id: int, attn_impl: str = "xla"):
+                         pixel_values, rng_key, *, max_new: int,
+                         cache_len: int, eos_id: int, attn_impl: str = "xla",
+                         temperature: float = 0.0, top_p: float = 1.0):
     """input_ids/mask [B, L] (left-padded) -> tokens [B, max_new] (eos-padded).
 
     Prefill writes the fused sequence into a fresh cache; the decode loop
@@ -74,15 +94,17 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
                               positions=positions, kv_cache=cache,
                               attn_impl=attn_impl)
-    first_tok = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    key0, key1 = jax.random.split(rng_key)
+    first_tok = _select_token(logits[:, -1].astype(jnp.float32), key0,
+                              temperature, top_p)
     next_pos = positions[:, -1] + 1  # per-row next rope position
 
     def cond(state):
-        t, tok, cache, done, out = state
+        t, tok, cache, done, out, key = state
         return (t < max_new) & ~jnp.all(done)
 
     def body(state):
-        t, tok, cache, done, out = state
+        t, tok, cache, done, out, key = state
         out = out.at[:, t].set(jnp.where(done, eos_id, tok))
         done = done | (tok == eos_id)
         emb = embed_tokens(params["llm"], tok[:, None])
@@ -90,13 +112,15 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
             params["llm"], cfg.llm, emb,
             positions=(next_pos + t)[:, None].astype(jnp.int32),
             kv_cache=cache, attn_impl=attn_impl)
-        nxt = jnp.argmax(lg[:, 0].astype(jnp.float32), axis=-1)
-        return (t + 1, nxt, new_cache, done, out)
+        key, sub = jax.random.split(key)
+        nxt = _select_token(lg[:, 0].astype(jnp.float32), sub, temperature,
+                            top_p)
+        return (t + 1, nxt.astype(jnp.int32), new_cache, done, out, key)
 
     out0 = jnp.full((B, max_new), eos_id, jnp.int32)
     state = (jnp.int32(0), first_tok.astype(jnp.int32), cache,
-             jnp.zeros((B,), jnp.bool_), out0)
-    t, tok, cache, done, out = jax.lax.while_loop(cond, body, state)
+             jnp.zeros((B,), jnp.bool_), out0, key1)
+    t, tok, cache, done, out, _ = jax.lax.while_loop(cond, body, state)
     return out
 
 
@@ -150,10 +174,13 @@ class ServingEngine:
         ids, mask = self._prepare(prompts, suffix_ids)
         max_new = max_new_tokens or self.options.max_new_tokens
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new)
+        self._step = getattr(self, "_step", 0) + 1
+        key = jax.random.PRNGKey(self.options.seed + self._step)
         out = _generate_multimodal(
-            self.params, self.cfg, ids, mask, pixel_values,
+            self.params, self.cfg, ids, mask, pixel_values, key,
             max_new=max_new, cache_len=cache_len,
-            eos_id=self.options.eos_id, attn_impl=self.attn_impl)
+            eos_id=self.options.eos_id, attn_impl=self.attn_impl,
+            temperature=self.options.temperature, top_p=self.options.top_p)
         return np.asarray(out)
 
     def first_token_probs(self, prompts, pixel_values,
