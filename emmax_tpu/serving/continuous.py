@@ -52,7 +52,8 @@ def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
-def _insert_slot(pool, slot: int, k1, v1, slot_mask1, used_len, first_tok):
+def _insert_slot(pool, slot: int, k1, v1, slot_mask1, used_len, first_tok,
+                 max_new):
     """Copy a prefilled single-request cache into pool slot ``slot``."""
     pool = dict(pool)
     pool["k"] = pool["k"].at[:, slot].set(k1[:, 0])
@@ -60,6 +61,7 @@ def _insert_slot(pool, slot: int, k1, v1, slot_mask1, used_len, first_tok):
     pool["mask"] = pool["mask"].at[slot].set(slot_mask1)
     pool["len"] = pool["len"].at[slot].set(used_len.astype(jnp.int32))
     pool["cur"] = pool["cur"].at[slot].set(first_tok)
+    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
     pool["active"] = pool["active"].at[slot].set(True)
     return pool
 
@@ -86,7 +88,10 @@ def _decode_burst(params, pool, *, cfg: VLMConfig, burst: int, eos_id: int,
                                   kv_cache=cache, attn_impl=attn_impl)
         nxt = jnp.argmax(lg[:, 0].astype(jnp.float32), axis=-1).astype(jnp.int32)
         emitted = jnp.where(active, cur, eos_id)
-        active = active & (cur != eos_id)
+        remaining = jnp.where(active, pool["remaining"] - 1,
+                              pool["remaining"])
+        # per-slot token budget: retire at EOS or when max_new is spent
+        active = active & (cur != eos_id) & (remaining > 0)
         pool = {"k": new_cache["k"], "v": new_cache["v"],
                 "mask": new_cache["mask"],
                 # advance only live rows; clamp to stay in bounds
@@ -94,6 +99,7 @@ def _decode_burst(params, pool, *, cfg: VLMConfig, burst: int, eos_id: int,
                                  jnp.minimum(new_cache["len"], S - 1),
                                  cursors),
                 "cur": jnp.where(active, nxt, cur),
+                "remaining": remaining,
                 "active": active}
         return pool, emitted
 
@@ -130,6 +136,7 @@ class ContinuousServingEngine:
         self.pool = {"k": base["k"], "v": base["v"], "mask": base["mask"],
                      "len": jnp.zeros((num_slots,), jnp.int32),
                      "cur": jnp.zeros((num_slots,), jnp.int32),
+                     "remaining": jnp.zeros((num_slots,), jnp.int32),
                      "active": jnp.zeros((num_slots,), jnp.bool_)}
         self._ids = itertools.count()
         self.queue: List[_Request] = []
@@ -154,7 +161,8 @@ class ContinuousServingEngine:
                 self.params, self.cfg, jnp.asarray(req.prompt_ids), mask,
                 req.pixel_values, cache_len=self.cache_len,
                 attn_impl=self.attn_impl)
-            self.pool = _insert_slot(self.pool, slot, k1, v1, m1, used, first)
+            self.pool = _insert_slot(self.pool, slot, k1, v1, m1, used,
+                                     first, jnp.int32(req.max_new_tokens))
             req.slot = slot
             self.running[slot] = req
 
@@ -176,10 +184,7 @@ class ContinuousServingEngine:
                 if t == self.tokenizer.eos_id:
                     break
                 req.tokens.append(t)
-            out_of_budget = len(req.tokens) >= req.max_new_tokens
-            if not active[slot] or out_of_budget:
-                if out_of_budget and active[slot]:
-                    self.pool = _release_slot(self.pool, slot)
+            if not active[slot]:
                 self.finished[req.request_id] = req.tokens[:req.max_new_tokens]
                 done_now.append((req.request_id,
                                  self.finished[req.request_id]))
