@@ -83,19 +83,39 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> Params:
+                  dtype=jnp.bfloat16, quantized: bool = False) -> Params:
     """Cache layout: [n_layers, B, S, KV, hd] + slot-validity mask.
 
     Serving packs prompts LEFT-padded (matching the reference's val collator,
     ``util/data_utils.py:146-195``) so every row's write cursor is shared.
+
+    ``quantized=True`` stores K/V as int8 with per-(position, head) scales —
+    half the cache HBM traffic and capacity (more slots for continuous
+    batching) at ~1e-2 relative attention error.
     """
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+    cache = {
         "mask": jnp.zeros((batch, max_len), jnp.bool_),
         "len": jnp.zeros((), jnp.int32),
     }
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        cache.update(k=jnp.zeros(shape, jnp.int8),
+                     v=jnp.zeros(shape, jnp.int8),
+                     k_scale=jnp.ones(sshape, jnp.float32),
+                     v_scale=jnp.ones(sshape, jnp.float32))
+    else:
+        cache.update(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    return cache
+
+
+def _quantize_kv(x):
+    """[B, L, KV, hd] → (int8 values, f32 scales [B, L, KV, 1])."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 
@@ -198,8 +218,20 @@ def llama_forward(
                 return jax.lax.dynamic_update_slice(
                     cache_all, new[None], (i, 0, t0, 0, 0))
 
+        quant = "k_scale" in kv_cache
+        compute_dtype = inputs_embeds.dtype
+
+        def _read(all_vals, all_scales, i):
+            vals = jax.lax.dynamic_index_in_dim(all_vals, i, 0,
+                                                keepdims=False)
+            if all_scales is None:
+                return vals
+            sc = jax.lax.dynamic_index_in_dim(all_scales, i, 0,
+                                              keepdims=False)
+            return vals.astype(compute_dtype) * sc.astype(compute_dtype)
+
         def body(i, carry):
-            h, k_all, v_all = carry
+            h, k_all, v_all, ks_all, vs_all = carry
             p = jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
                                                        keepdims=False),
@@ -208,10 +240,18 @@ def llama_forward(
             k_new = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             v_new = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             k_new = apply_rope(k_new, cos, sin)
-            k_all = _write(k_all, k_new.astype(k_all.dtype), i)
-            v_all = _write(v_all, v_new.astype(v_all.dtype), i)
-            k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
-            v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
+            if quant:
+                kq, ks = _quantize_kv(k_new)
+                vq, vs = _quantize_kv(v_new)
+                k_all = _write(k_all, kq, i)
+                v_all = _write(v_all, vq, i)
+                ks_all = _write(ks_all, ks, i)
+                vs_all = _write(vs_all, vs, i)
+            else:
+                k_all = _write(k_all, k_new.astype(k_all.dtype), i)
+                v_all = _write(v_all, v_new.astype(v_all.dtype), i)
+            k_c = _read(k_all, ks_all if quant else None, i)
+            v_c = _read(v_all, vs_all if quant else None, i)
             q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
             # query i (at slot t0+i) attends to valid slots j <= t0+i
@@ -223,13 +263,18 @@ def llama_forward(
             x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)
             h = h + mm(jax.nn.silu(mm(x, p["w_gate"])) * mm(x, p["w_up"]),
                        p["w_down"])
-            return (h, k_all, v_all)
+            return (h, k_all, v_all, ks_all, vs_all)
 
-        h, k_all, v_all = jax.lax.fori_loop(
+        dummy = jnp.zeros((cfg.n_layers, 1, 1, 1, 1), jnp.float32)
+        h, k_all, v_all, ks_all, vs_all = jax.lax.fori_loop(
             0, cfg.n_layers, body,
-            (inputs_embeds, kv_cache["k"], kv_cache["v"]))
+            (inputs_embeds, kv_cache["k"], kv_cache["v"],
+             kv_cache.get("k_scale", dummy), kv_cache.get("v_scale", dummy)))
         new_cache = {"k": k_all, "v": v_all, "mask": slot_mask,
                      "len": t0 + L}
+        if quant:
+            new_cache["k_scale"] = ks_all
+            new_cache["v_scale"] = vs_all
 
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
     logits = mm(h, params["lm_head"]).astype(logits_dtype)

@@ -72,12 +72,14 @@ def _select_token(logits_f32, key, temperature: float, top_p: float):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "cache_len", "eos_id",
-                                   "attn_impl", "temperature", "top_p"),
+                                   "attn_impl", "temperature", "top_p",
+                                   "quantized_cache"),
          donate_argnames=())
 def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
                          pixel_values, rng_key, *, max_new: int,
                          cache_len: int, eos_id: int, attn_impl: str = "xla",
-                         temperature: float = 0.0, top_p: float = 1.0):
+                         temperature: float = 0.0, top_p: float = 1.0,
+                         quantized_cache: bool = False):
     """input_ids/mask [B, L] (left-padded) -> tokens [B, max_new] (eos-padded).
 
     Prefill writes the fused sequence into a fresh cache; the decode loop
@@ -85,7 +87,8 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     """
     B, L = input_ids.shape
     compute_dtype = params["llm"]["embed"].dtype  # robust under quantization
-    cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
+    cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype,
+                          quantized=quantized_cache)
 
     patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
@@ -147,13 +150,15 @@ class ServingEngine:
 
     def __init__(self, cfg: VLMConfig, params, tokenizer,
                  options: Optional[GenerateOptions] = None,
-                 attn_impl: str = "auto", buckets=DEFAULT_BUCKETS) -> None:
+                 attn_impl: str = "auto", buckets=DEFAULT_BUCKETS,
+                 quantized_cache: bool = False) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.options = options or GenerateOptions()
         self.attn_impl = attn_impl
         self.buckets = buckets
+        self.quantized_cache = quantized_cache
 
     def _prepare(self, prompts, suffix_ids=()) -> Tuple[jax.Array, jax.Array]:
         enc = [self.tokenizer.encode(p) + list(suffix_ids) for p in prompts]
@@ -180,7 +185,8 @@ class ServingEngine:
             self.params, self.cfg, ids, mask, pixel_values, key,
             max_new=max_new, cache_len=cache_len,
             eos_id=self.options.eos_id, attn_impl=self.attn_impl,
-            temperature=self.options.temperature, top_p=self.options.top_p)
+            temperature=self.options.temperature, top_p=self.options.top_p,
+            quantized_cache=self.quantized_cache)
         return np.asarray(out)
 
     def first_token_probs(self, prompts, pixel_values,
