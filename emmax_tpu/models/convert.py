@@ -267,3 +267,77 @@ def convert_projector(sd: Mapping[str, Any], prefix: str = "projector.") -> Para
             "bias": _np(sd[f"{prefix}{i}.bias"]),
         })
     return {"layers": layers}
+
+
+def params_to_prismatic_sd(params, cfg) -> dict:
+    """emmax_tpu param tree → reference-layout torch state dicts
+    ``{"projector", "llm_backbone", "vision_backbone"}`` (the inverse of
+    ``convert_prismatic_pt``; key remaps documented at
+    ``vla-scripts/extern/convert_openvla_weights_to_hf.py:84-117``)."""
+    import numpy as np
+    import torch
+
+    def t(x):
+        return torch.tensor(np.asarray(x, np.float32))
+
+    llm = params["llm"]
+    llm_sd = {"llm.model.embed_tokens.weight": t(llm["embed"]),
+              "llm.model.norm.weight": t(llm["final_norm"]),
+              "llm.lm_head.weight": t(np.asarray(llm["lm_head"]).T)}
+    L = np.asarray(llm["layers"]["wq"]).shape[0]
+    names = {"attn_norm": "input_layernorm.weight",
+             "mlp_norm": "post_attention_layernorm.weight"}
+    mats = {"wq": "self_attn.q_proj.weight", "wk": "self_attn.k_proj.weight",
+            "wv": "self_attn.v_proj.weight", "wo": "self_attn.o_proj.weight",
+            "w_gate": "mlp.gate_proj.weight", "w_up": "mlp.up_proj.weight",
+            "w_down": "mlp.down_proj.weight"}
+    for i in range(L):
+        for k, hf in names.items():
+            llm_sd[f"llm.model.layers.{i}.{hf}"] = t(llm["layers"][k][i])
+        for k, hf in mats.items():
+            llm_sd[f"llm.model.layers.{i}.{hf}"] = t(
+                np.asarray(llm["layers"][k][i]).T)
+
+    vis_sd = {}
+    for name, vcfg in cfg.vision:
+        pre = f"{name}_featurizer."
+        p = params["vision"][name]
+        D = vcfg.dim
+        pk = np.asarray(p["patch_embed"]["kernel"])
+        vis_sd[pre + "patch_embed.proj.weight"] = t(
+            pk.reshape(vcfg.patch_size, vcfg.patch_size, 3, D)
+            .transpose(3, 2, 0, 1))
+        vis_sd[pre + "patch_embed.proj.bias"] = t(p["patch_embed"]["bias"])
+        vis_sd[pre + "pos_embed"] = t(p["pos_embed"])
+        if vcfg.class_token:
+            vis_sd[pre + "cls_token"] = t(p["cls_token"])
+        if vcfg.num_reg_tokens:
+            vis_sd[pre + "reg_token"] = t(p["reg_tokens"])
+        b = p["blocks"]
+        for i in range(vcfg.depth):
+            bp = f"{pre}blocks.{i}."
+            vis_sd[bp + "norm1.weight"] = t(b["norm1_scale"][i])
+            vis_sd[bp + "norm1.bias"] = t(b["norm1_bias"][i])
+            vis_sd[bp + "attn.qkv.weight"] = t(np.asarray(b["wqkv"][i]).T)
+            vis_sd[bp + "attn.qkv.bias"] = t(b["bqkv"][i])
+            vis_sd[bp + "attn.proj.weight"] = t(np.asarray(b["wo"][i]).T)
+            vis_sd[bp + "attn.proj.bias"] = t(b["bo"][i])
+            vis_sd[bp + "norm2.weight"] = t(b["norm2_scale"][i])
+            vis_sd[bp + "norm2.bias"] = t(b["norm2_bias"][i])
+            vis_sd[bp + "mlp.fc1.weight"] = t(np.asarray(b["w1"][i]).T)
+            vis_sd[bp + "mlp.fc1.bias"] = t(b["b1"][i])
+            vis_sd[bp + "mlp.fc2.weight"] = t(np.asarray(b["w2"][i]).T)
+            vis_sd[bp + "mlp.fc2.bias"] = t(b["b2"][i])
+            if vcfg.layerscale:
+                vis_sd[bp + "ls1.gamma"] = t(b["ls1"][i])
+                vis_sd[bp + "ls2.gamma"] = t(b["ls2"][i])
+        vis_sd[pre + "norm.weight"] = t(p["final_norm"]["scale"])
+        vis_sd[pre + "norm.bias"] = t(p["final_norm"]["bias"])
+
+    proj_sd = {}
+    for li, layer in enumerate(params["projector"]["layers"]):
+        proj_sd[f"projector.{2 * li}.weight"] = t(np.asarray(layer["kernel"]).T)
+        proj_sd[f"projector.{2 * li}.bias"] = t(layer["bias"])
+
+    return {"projector": proj_sd, "llm_backbone": llm_sd,
+            "vision_backbone": vis_sd}

@@ -168,3 +168,36 @@ def test_convert_prismatic_pt_structure(tmp_path):
     pixels = {"dino": jnp.zeros((1, 28, 28, 3))}
     logits, _, _ = vlm_forward(params, cfg, ids, pixels)
     assert logits.shape == (1, 3 + 4, 64)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """params → reference .pt layout → convert back → identical params
+    (the export converter's correctness)."""
+    torch = pytest.importorskip("torch")
+    from emmax_tpu.models.convert import params_to_prismatic_sd
+    from emmax_tpu.models.load import convert_prismatic_pt
+    from emmax_tpu.models.vlm import VLMConfig
+
+    dino = ViTConfig(img_size=28, patch_size=14, dim=16, depth=2, n_heads=2,
+                     hidden_dim=32, class_token=True, num_reg_tokens=4,
+                     layerscale=True)
+    llm = LlamaConfig(vocab_size=64, dim=16, n_layers=2, n_heads=2,
+                      n_kv_heads=2, hidden_dim=32)
+    cfg = VLMConfig(vision=(("dino", dino),), llm=llm,
+                    arch_specifier="no-align+gelu-mlp")
+    import jax
+
+    from emmax_tpu.models.vlm import init_vlm_params
+
+    params = init_vlm_params(jax.random.PRNGKey(3), cfg)
+    sd = params_to_prismatic_sd(params, cfg)
+    pt = tmp_path / "roundtrip.pt"
+    torch.save({"model": sd}, pt)
+    back = convert_prismatic_pt(pt, cfg)
+
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(params)
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32), np.asarray(dict(flat_b)[path]),
+            atol=1e-6, err_msg=str(path))

@@ -75,9 +75,9 @@ def import_pt(cfg: ConvertConfig) -> None:
 def export_pt(cfg: ConvertConfig) -> None:
     """Orbax params → reference-layout torch ``.pt`` (model split into
     projector / llm_backbone / vision_backbone, ``fsdp.py:95-136``)."""
-    import numpy as np
     import torch
 
+    from emmax_tpu.models.convert import params_to_prismatic_sd
     from emmax_tpu.models.load import _latest_checkpoint, _load_orbax
 
     vlm_cfg, mc = _vlm_cfg(cfg.base_vlm)
@@ -86,73 +86,10 @@ def export_pt(cfg: ConvertConfig) -> None:
     params = _load_orbax(ckpt, None)
     if "params" in params:  # full train state saved
         params = params["params"]
-
-    def t(x):
-        return torch.tensor(np.asarray(x, np.float32))
-
-    llm = params["llm"]
-    llm_sd = {"llm.model.embed_tokens.weight": t(llm["embed"]),
-              "llm.model.norm.weight": t(llm["final_norm"]),
-              "llm.lm_head.weight": t(np.asarray(llm["lm_head"]).T)}
-    L = np.asarray(llm["layers"]["wq"]).shape[0]
-    names = {"attn_norm": "input_layernorm.weight",
-             "mlp_norm": "post_attention_layernorm.weight"}
-    mats = {"wq": "self_attn.q_proj.weight", "wk": "self_attn.k_proj.weight",
-            "wv": "self_attn.v_proj.weight", "wo": "self_attn.o_proj.weight",
-            "w_gate": "mlp.gate_proj.weight", "w_up": "mlp.up_proj.weight",
-            "w_down": "mlp.down_proj.weight"}
-    for i in range(L):
-        for k, hf in names.items():
-            llm_sd[f"llm.model.layers.{i}.{hf}"] = t(llm["layers"][k][i])
-        for k, hf in mats.items():
-            llm_sd[f"llm.model.layers.{i}.{hf}"] = t(
-                np.asarray(llm["layers"][k][i]).T)
-
-    vis_sd = {}
-    for name, vcfg in vlm_cfg.vision:
-        pre = f"{name}_featurizer."
-        p = params["vision"][name]
-        D = vcfg.dim
-        pk = np.asarray(p["patch_embed"]["kernel"])
-        vis_sd[pre + "patch_embed.proj.weight"] = t(
-            pk.reshape(vcfg.patch_size, vcfg.patch_size, 3, D)
-            .transpose(3, 2, 0, 1))
-        vis_sd[pre + "patch_embed.proj.bias"] = t(p["patch_embed"]["bias"])
-        vis_sd[pre + "pos_embed"] = t(p["pos_embed"])
-        if vcfg.class_token:
-            vis_sd[pre + "cls_token"] = t(p["cls_token"])
-        if vcfg.num_reg_tokens:
-            vis_sd[pre + "reg_token"] = t(p["reg_tokens"])
-        b = p["blocks"]
-        for i in range(vcfg.depth):
-            bp = f"{pre}blocks.{i}."
-            vis_sd[bp + "norm1.weight"] = t(b["norm1_scale"][i])
-            vis_sd[bp + "norm1.bias"] = t(b["norm1_bias"][i])
-            vis_sd[bp + "attn.qkv.weight"] = t(np.asarray(b["wqkv"][i]).T)
-            vis_sd[bp + "attn.qkv.bias"] = t(b["bqkv"][i])
-            vis_sd[bp + "attn.proj.weight"] = t(np.asarray(b["wo"][i]).T)
-            vis_sd[bp + "attn.proj.bias"] = t(b["bo"][i])
-            vis_sd[bp + "norm2.weight"] = t(b["norm2_scale"][i])
-            vis_sd[bp + "norm2.bias"] = t(b["norm2_bias"][i])
-            vis_sd[bp + "mlp.fc1.weight"] = t(np.asarray(b["w1"][i]).T)
-            vis_sd[bp + "mlp.fc1.bias"] = t(b["b1"][i])
-            vis_sd[bp + "mlp.fc2.weight"] = t(np.asarray(b["w2"][i]).T)
-            vis_sd[bp + "mlp.fc2.bias"] = t(b["b2"][i])
-            if vcfg.layerscale:
-                vis_sd[bp + "ls1.gamma"] = t(b["ls1"][i])
-                vis_sd[bp + "ls2.gamma"] = t(b["ls2"][i])
-        vis_sd[pre + "norm.weight"] = t(p["final_norm"]["scale"])
-        vis_sd[pre + "norm.bias"] = t(p["final_norm"]["bias"])
-
-    proj_sd = {}
-    for li, layer in enumerate(params["projector"]["layers"]):
-        proj_sd[f"projector.{2 * li}.weight"] = t(np.asarray(layer["kernel"]).T)
-        proj_sd[f"projector.{2 * li}.bias"] = t(layer["bias"])
-
+    sd = params_to_prismatic_sd(params, vlm_cfg)
     out = Path(cfg.dst)
     out.parent.mkdir(parents=True, exist_ok=True)
-    torch.save({"model": {"projector": proj_sd, "llm_backbone": llm_sd,
-                          "vision_backbone": vis_sd}}, out)
+    torch.save({"model": sd}, out)
     overwatch.info(f"exported {cfg.src} -> {out}")
 
 
