@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from emmax_tpu.ops.attention import multi_head_attention
+from emmax_tpu.parallel.constraints import constrain_batch_sharded
 from emmax_tpu.ops.norms import rms_norm
 from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -137,6 +138,7 @@ def _layer(h, layer_params, cos, sin, kv_mask, cfg: LlamaConfig,
            attn_impl: str):
     """One decoder layer (uncached path, causal)."""
     p = layer_params
+    h = constrain_batch_sharded(h)
     B, L, D = h.shape
     x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
     q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from emmax_tpu.ops.attention import multi_head_attention
+from emmax_tpu.parallel.constraints import constrain_batch_sharded
 from emmax_tpu.ops.norms import layer_norm
 
 Params = Dict[str, Any]
@@ -143,7 +144,8 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
 
 
 def _embed(params: Params, cfg: ViTConfig, images: jax.Array) -> jax.Array:
-    x = patchify(images, cfg.patch_size)
+    images = constrain_batch_sharded(images)
+    x = constrain_batch_sharded(patchify(images, cfg.patch_size))
     x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
     B = x.shape[0]
     if cfg.class_token:
@@ -161,6 +163,7 @@ def _embed(params: Params, cfg: ViTConfig, images: jax.Array) -> jax.Array:
 
 
 def _block(h, p, cfg: ViTConfig, attn_impl: str):
+    h = constrain_batch_sharded(h)
     B, L, D = h.shape
     x = layer_norm(h, p["norm1_scale"], p["norm1_bias"], cfg.norm_eps)
     qkv = x @ p["wqkv"] + p["bqkv"]

@@ -137,7 +137,19 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
     return accum_step
 
 
-def jit_train_step(step_fn, donate: bool = True):
+def jit_train_step(step_fn, donate: bool = True, mesh=None):
     """Jit the step; shardings propagate from the (device_put) input state
-    and batch placements — GSPMD inserts the FSDP/TP collectives."""
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    and batch placements — GSPMD inserts the FSDP/TP collectives.
+
+    With ``mesh``, tracing runs under ``jax.sharding.set_mesh`` so the
+    activation anchors in the model (``parallel/constraints.py``) engage.
+    """
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return jitted
+
+    def wrapped(state, batch):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(state, batch)
+
+    return wrapped

@@ -141,7 +141,7 @@ def main(cfg: PretrainConfig) -> None:
         vlm_cfg, tx, attn_impl=cfg.attn_impl,
         remat=m.enable_gradient_checkpointing, compute_dtype=compute_dtype,
         transforms=transforms,
-        stop_vision_gradient=(cfg.stage == "align")))
+        stop_vision_gradient=(cfg.stage == "align")), mesh=mesh)
     metrics = Metrics(build_trackers(cfg.trackers.split(","), run_id, run_dir))
     state = run_discrete_vla_training(
         vlm_cfg=vlm_cfg, state=state, train_step=step_fn, loader=loader,
