@@ -372,3 +372,53 @@ class RLDSFrameSource:
         img = tf.io.decode_image(blob, expand_animations=False,
                                  dtype=tf.uint8, channels=3)
         return img.numpy()
+
+
+def _tf_rel2abs_gripper(actions):
+    """TF mirror of normalization.rel2abs_gripper_actions: relative open(-)
+    /close(+) commands → absolute [0, 1] state (data_utils.py:145-182)."""
+    opening = tf.cast(actions < -0.1, tf.float32)
+    closing = tf.cast(actions > 0.1, tf.float32)
+    # +1 where opening, -1 where closing, 0 at no-ops; carry last command
+    delta = opening - closing
+
+    def scan_fn(carry, d):
+        return tf.cond(tf.equal(d, 0.0), lambda: carry, lambda: d)
+
+    # back-fill leading no-ops with the first command (default open)
+    first = tf.scan(scan_fn, tf.reverse(delta, [0]),
+                    initializer=tf.constant(1.0))
+    first_cmd = tf.reverse(first, [0])
+    carried = tf.scan(scan_fn, delta, initializer=first_cmd[0])
+    return tf.where(carried > 0, tf.ones_like(carried),
+                    tf.zeros_like(carried))
+
+
+def rt1_style_standardize(traj: Dict) -> Dict:
+    """``rt1_dataset_transform`` semantics (oxe/transforms.py:102-116) on the
+    episode layout: xyz+rpy action dims pass through; the relative gripper
+    command becomes an absolute open(1)/close(0) state."""
+    grip = _tf_rel2abs_gripper(traj["action"][:, -1])
+    traj["action"] = tf.concat([traj["action"][:, :6], grip[:, None]], axis=1)
+    traj["observation"]["EEF_state"] = traj["observation"]["proprio"][:, :6]
+    traj["observation"]["gripper_state"] = traj["observation"]["proprio"][:, -1:]
+    return traj
+
+
+def taco_play_style_standardize(traj: Dict) -> Dict:
+    """``taco_play_dataset_transform`` semantics (oxe/transforms.py:149-164):
+    gripper dim clipped to [0, 1]; EEF/gripper state split."""
+    traj["action"] = tf.concat(
+        [traj["action"][:, :6],
+         tf.clip_by_value(traj["action"][:, -1:], 0.0, 1.0)], axis=1)
+    traj["observation"]["EEF_state"] = traj["observation"]["proprio"][:, :6]
+    traj["observation"]["gripper_state"] = traj["observation"]["proprio"][:, -1:]
+    return traj
+
+
+STANDARDIZE_FNS.update({
+    "rt_1": rt1_style_standardize,
+    "kuka": rt1_style_standardize,          # same gripper relabeling
+    "taco_play": taco_play_style_standardize,
+})
+NAMED_MIXTURES["bridge_rt_1"] = [("bridge_orig", 1.0), ("rt_1", 1.0)]

@@ -124,3 +124,36 @@ def test_compute_statistics_shapes():
     stats = compute_statistics(arrays)
     assert stats["num_transitions"] == 13
     assert len(stats["q99"]) == 3
+
+
+def test_rt1_and_taco_standardize(data_dir):
+    from emmax_tpu.data.rlds import (STANDARDIZE_FNS, rt1_style_standardize,
+                                     taco_play_style_standardize)
+
+    assert "rt_1" in STANDARDIZE_FNS and "taco_play" in STANDARDIZE_FNS
+    T = 6
+    traj = {
+        "observation": {"proprio": tf.random.normal((T, 7))},
+        # relative gripper commands: no-op, close, no-op, open, no-op, close
+        "action": tf.concat(
+            [tf.random.normal((T, 6)),
+             tf.constant([[0.0], [1.0], [0.0], [-1.0], [0.0], [1.0]])], 1),
+        "task": {"language_instruction": tf.constant("x")},
+    }
+    out = rt1_style_standardize(dict(traj))
+    grip = out["action"][:, -1].numpy()
+    # rel→abs: leading no-op back-filled from first command (close→0),
+    # then stays until the next command
+    np.testing.assert_array_equal(grip, [0, 0, 0, 1, 1, 0])
+    assert out["observation"]["EEF_state"].shape == (T, 6)
+
+    traj2 = {
+        "observation": {"proprio": tf.random.normal((T, 7))},
+        "action": tf.concat(
+            [tf.random.normal((T, 6)),
+             tf.constant([[1.7], [-0.3], [0.5], [0.0], [1.0], [0.2]])], 1),
+        "task": {"language_instruction": tf.constant("y")},
+    }
+    out2 = taco_play_style_standardize(dict(traj2))
+    g2 = out2["action"][:, -1].numpy()
+    assert g2.min() >= 0.0 and g2.max() <= 1.0
