@@ -1,0 +1,139 @@
+"""Prompt-lookup speculative decoding: drafts, exactness, acceptance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emmax_tpu.models.vlm import init_vlm_params, tiny_vlm_config
+from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
+from emmax_tpu.serving.speculative import SpeculativeEngine, lookup_draft
+from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_vlm_config(vocab_size=512)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteLevelTokenizer(vocab_size=512)
+    return cfg, params, tok
+
+
+def _pixels(cfg, rng, B):
+    return {name: jnp.asarray(rng.normal(size=(B, v.img_size, v.img_size, 3))
+                              .astype(np.float32)) for name, v in cfg.vision}
+
+
+# ---------------------------------------------------------------- drafts
+
+def _hist(rows, H=24):
+    hist = np.full((len(rows), H), -1, np.int32)
+    for i, r in enumerate(rows):
+        hist[i, :len(r)] = r
+    hlen = np.asarray([len(r) for r in rows], np.int32)
+    return jnp.asarray(hist), jnp.asarray(hlen)
+
+
+def test_lookup_draft_continuation():
+    # history ...[7, 8] 9 10 11... ends in [7, 8] -> draft 9 10 11 (then -1s)
+    hist, hlen = _hist([[1, 7, 8, 9, 10, 11, 3, 7, 8]])
+    draft = np.asarray(lookup_draft(hist, hlen, 4))
+    np.testing.assert_array_equal(draft[0], [9, 10, 11, 3])
+
+
+def test_lookup_draft_prefers_most_recent_match():
+    # bigram [5, 5] occurs twice; the later occurrence (followed by 2) wins
+    hist, hlen = _hist([[5, 5, 1, 9, 5, 5, 2, 9, 5, 5]])
+    draft = np.asarray(lookup_draft(hist, hlen, 2))
+    np.testing.assert_array_equal(draft[0], [2, 9])
+
+
+def test_lookup_draft_no_match_and_short_history():
+    hist, hlen = _hist([[1, 2, 3, 4],      # no earlier [3, 4]
+                        [1]])              # too short for a bigram
+    draft = np.asarray(lookup_draft(hist, hlen, 3))
+    assert (draft == -1).all()
+
+
+def test_lookup_draft_ignores_stale_region_beyond_hlen():
+    row = [4, 6, 1, 2, 3, 4, 6]
+    hist, _ = _hist([row + [4, 6, 9, 9, 9]])   # stale garbage past hlen
+    hlen = jnp.asarray([len(row)], jnp.int32)
+    draft = np.asarray(lookup_draft(hist, hlen, 2))
+    np.testing.assert_array_equal(draft[0], [1, 2])  # from the real match
+
+
+# ------------------------------------------------------------- end-to-end
+
+def test_speculative_matches_plain_greedy(setup):
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4)
+    rng = np.random.default_rng(0)
+    prompts = ["In: do the thing\nOut:",
+               "In: a much longer instruction goes right here\nOut:"]
+    pixels = _pixels(cfg, rng, 2)
+    want = plain.generate_ids(prompts, pixels, max_new_tokens=24)
+    got = spec.generate_ids(prompts, pixels, max_new_tokens=24)
+    np.testing.assert_array_equal(got, want)
+    assert 1 <= spec.last_steps <= 24
+
+
+def test_speculative_quantized_cache(setup):
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    plain = ServingEngine(cfg, params, tok, options=opts, quantized_cache=True)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=3,
+                             quantized_cache=True)
+    rng = np.random.default_rng(1)
+    pixels = _pixels(cfg, rng, 1)
+    want = plain.generate_ids(["In: y\nOut:"], pixels, max_new_tokens=12)
+    got = spec.generate_ids(["In: y\nOut:"], pixels, max_new_tokens=12)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_speculative_accepts_on_periodic_output(setup):
+    """Force a perfectly periodic greedy output (zeroed decoder layers +
+    one-hot embed/lm_head encoding the transition 5→6→7→5) and check that
+    prompt lookup actually accepts drafts: far fewer verifier steps than
+    emitted tokens, with the emitted cycle exact."""
+    cfg, params, tok = setup
+    D, V = cfg.llm.dim, cfg.llm.vocab_size
+
+    def nxt(t):
+        return {5: 6, 6: 7, 7: 5}.get(t % D, 5)
+
+    embed = np.zeros((V, D), np.float32)
+    embed[np.arange(V), np.arange(V) % D] = 10.0
+    lm_head = np.zeros((D, V), np.float32)
+    lm_head[np.arange(D), [nxt(d) for d in range(D)]] = 100.0
+    llm = jax.tree_util.tree_map(jnp.zeros_like, params["llm"])
+    llm = dict(llm, embed=jnp.asarray(embed), lm_head=jnp.asarray(lm_head),
+               final_norm=params["llm"]["final_norm"])
+    llm["layers"] = dict(llm["layers"],
+                         attn_norm=params["llm"]["layers"]["attn_norm"],
+                         mlp_norm=params["llm"]["layers"]["mlp_norm"])
+    cyc_params = dict(params, llm=llm)
+
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    spec = SpeculativeEngine(cfg, cyc_params, tok, options=opts, draft_k=4)
+    rng = np.random.default_rng(2)
+    prompt = "In: loop\nOut:"
+    out = spec.generate_ids([prompt], _pixels(cfg, rng, 1),
+                            max_new_tokens=24)[0]
+    cur = tok.encode(prompt)[-1]
+    expected = []
+    for _ in range(24):
+        cur = nxt(cur)
+        expected.append(cur)
+    np.testing.assert_array_equal(out, expected)
+    # once the cycle is in history, every step accepts the full k=4 draft
+    assert spec.last_steps <= 12, spec.last_steps
+
+
+def test_rejects_sampling_options(setup):
+    cfg, params, tok = setup
+    with pytest.raises(ValueError):
+        SpeculativeEngine(cfg, params, tok,
+                          options=GenerateOptions(temperature=0.7))
