@@ -341,3 +341,61 @@ def params_to_prismatic_sd(params, cfg) -> dict:
 
     return {"projector": proj_sd, "llm_backbone": llm_sd,
             "vision_backbone": vis_sd}
+
+
+# --- HF-hub (OpenVLA ``modeling_prismatic``) flat format ----------------------
+
+_HF_FC = {0: "fc1", 2: "fc2", 4: "fc3"}
+
+
+def params_to_hf_sd(params, cfg) -> dict:
+    """emmax_tpu param tree → ONE flat HF-hub state dict in the published
+    OpenVLA ``modeling_prismatic`` naming (``language_model.*``,
+    ``vision_backbone.featurizer.* / .fused_featurizer.*`` with LayerScale
+    ``scale_factor``, ``projector.fc{1,2,3}.*``) — the format the reference's
+    ``convert_openvla_weights_to_hf.py:84-117`` produces, so checkpoints
+    trained here load into the HF remote-code class."""
+    parts = params_to_prismatic_sd(params, cfg)
+    sd = {}
+    for k, v in parts["llm_backbone"].items():
+        sd["language_model." + k[len("llm."):]] = v
+    names = [name for name, _ in cfg.vision]
+    vis_prefix = {names[0]: "vision_backbone.featurizer."}
+    if len(names) > 1:
+        vis_prefix[names[1]] = "vision_backbone.fused_featurizer."
+    for k, v in parts["vision_backbone"].items():
+        name, rest = k.split("_featurizer.", 1)
+        for ls in ("ls1", "ls2"):
+            rest = rest.replace(f"{ls}.gamma", f"{ls}.scale_factor")
+        sd[vis_prefix[name] + rest] = v
+    for k, v in parts["projector"].items():
+        _, idx, leaf = k.split(".")
+        sd[f"projector.{_HF_FC[int(idx)]}.{leaf}"] = v
+    return sd
+
+
+def convert_hf_openvla_sd(sd: Mapping[str, Any], cfg) -> Params:
+    """Flat HF-hub (OpenVLA) state dict → emmax_tpu param tree (inverse of
+    ``params_to_hf_sd``; ``scale_factor`` is handled by ``convert_timm_vit``)."""
+    names = [name for name, _ in cfg.vision]
+    vis_prefix = {"vision_backbone.featurizer.": names[0]}
+    if len(names) > 1:
+        vis_prefix["vision_backbone.fused_featurizer."] = names[1]
+    vision_params = {}
+    for prefix, name in vis_prefix.items():
+        vcfg = dict(cfg.vision)[name]
+        sub = {k[len(prefix):]: v for k, v in sd.items()
+               if k.startswith(prefix)}
+        vision_params[name] = convert_timm_vit(sub, vcfg)
+    llm_sub = {k[len("language_model."):]: v for k, v in sd.items()
+               if k.startswith("language_model.")}
+    llm_params = convert_hf_llama(llm_sub, cfg.llm)
+    fc_to_idx = {v: k for k, v in _HF_FC.items()}
+    proj_sd = {}
+    for k, v in sd.items():
+        if k.startswith("projector."):
+            _, fc, leaf = k.split(".")
+            proj_sd[f"projector.{fc_to_idx[fc]}.{leaf}"] = v
+    proj_params = convert_projector(proj_sd, prefix="projector.")
+    return {"vision": vision_params, "projector": proj_params,
+            "llm": llm_params}

@@ -8,10 +8,12 @@ TPU-relevant directions:
   (key remap documented in ``emmax_tpu/models/convert.py``; inverse of the
   reference's ``llm.→language_model.`` / ``gamma→scale_factor`` maps at
   :84-117).
-- ``--mode import_hf``: a local HF safetensors dir (Llama/DINOv2/SigLIP
-  naming) → orbax run dir.
+- ``--mode import_hf``: a local HF-hub dir (OpenVLA ``modeling_prismatic``
+  safetensors naming) → orbax run dir.
 - ``--mode export_pt``: orbax run dir → reference-layout ``.pt`` (so torch
   users can load weights trained here).
+- ``--mode export_hf``: orbax run dir → HF-hub dir (``model.safetensors`` in
+  OpenVLA naming + ``config.json``), loadable by the HF remote-code class.
 
 Usage:
   python vla-scripts/extern/convert_weights.py --mode import_pt \
@@ -37,7 +39,8 @@ overwatch = initialize_overwatch("convert")
 
 @dataclass
 class ConvertConfig:
-    mode: str = "import_pt"        # import_pt | export_pt
+    mode: str = "import_pt"    # import_pt | export_pt | import_hf | export_hf
+    export_dtype: str = "bfloat16"  # export_hf tensor dtype
     src: Path = Path("checkpoint.pt")
     dst: Path = Path("runs/imported")
     base_vlm: str = "prism-dinosiglip-224px+7b"
@@ -47,6 +50,15 @@ class ConvertConfig:
 def _vlm_cfg(base_vlm: str):
     from emmax_tpu.models.load import build_vlm
 
+    if base_vlm == "tiny":  # smoke-test scale (like train.py --smoke_test)
+        from types import SimpleNamespace
+
+        from emmax_tpu.models.vlm import tiny_vlm_config
+
+        mc = SimpleNamespace(vision_backbone_id="tiny", llm_backbone_id="tiny",
+                             arch_specifier="fused-gelu-mlp",
+                             image_resize_strategy="resize-naive")
+        return tiny_vlm_config(), mc
     mc = ModelConfig.get_choice_class(base_vlm)()
     cfg, _ = build_vlm(mc.vision_backbone_id, mc.llm_backbone_id,
                        mc.arch_specifier)
@@ -93,6 +105,83 @@ def export_pt(cfg: ConvertConfig) -> None:
     overwatch.info(f"exported {cfg.src} -> {out}")
 
 
+def _load_params(cfg: ConvertConfig):
+    from emmax_tpu.models.load import _latest_checkpoint, _load_orbax
+
+    vlm_cfg, mc = _vlm_cfg(cfg.base_vlm)
+    ckpt = _latest_checkpoint(Path(cfg.src))
+    assert ckpt is not None, f"no checkpoints under {cfg.src}"
+    params = _load_orbax(ckpt, None)
+    if "params" in params:  # full train state saved
+        params = params["params"]
+    return vlm_cfg, mc, params
+
+
+def export_hf(cfg: ConvertConfig) -> None:
+    """Orbax run dir → HF-hub dir: ``model.safetensors`` in the published
+    OpenVLA flat naming + a minimal ``config.json`` (the reference's
+    ``convert_openvla_weights_to_hf.py`` output shape)."""
+    import torch
+    from safetensors.torch import save_file
+
+    from emmax_tpu.models.convert import params_to_hf_sd
+
+    dt = getattr(torch, cfg.export_dtype, None)
+    if not isinstance(dt, torch.dtype):
+        sys.exit(f"unknown --export_dtype {cfg.export_dtype!r} "
+                 "(e.g. bfloat16, float16, float32)")
+    vlm_cfg, mc, params = _load_params(cfg)
+    sd = {k: v.to(dt).contiguous()
+          for k, v in params_to_hf_sd(params, vlm_cfg).items()}
+    out = Path(cfg.dst)
+    out.mkdir(parents=True, exist_ok=True)
+    save_file(sd, out / "model.safetensors")
+    blob = {"model_type": "openvla",
+            "vision_backbone_id": mc.vision_backbone_id,
+            "llm_backbone_id": mc.llm_backbone_id,
+            "arch_specifier": mc.arch_specifier,
+            "image_resize_strategy": mc.image_resize_strategy,
+            "torch_dtype": cfg.export_dtype,
+            "text_config": {"vocab_size": vlm_cfg.llm.vocab_size,
+                            "pad_token_id": 32000}}
+    if cfg.dataset_statistics:
+        blob["norm_stats"] = json.loads(
+            Path(cfg.dataset_statistics).read_text())
+    (out / "config.json").write_text(json.dumps(blob, indent=2))
+    overwatch.info(f"exported {cfg.src} -> {out} "
+                   f"({len(sd)} tensors, {cfg.export_dtype})")
+
+
+def import_hf(cfg: ConvertConfig) -> None:
+    """HF-hub dir (``model*.safetensors``, OpenVLA naming) → orbax run dir."""
+    import jax.numpy as jnp
+    from safetensors.torch import load_file
+
+    from emmax_tpu.models.convert import convert_hf_openvla_sd
+    from emmax_tpu.models.load import _cast_tree, save_pretrained
+
+    vlm_cfg, mc = _vlm_cfg(cfg.base_vlm)
+    shards = sorted(Path(cfg.src).glob("*.safetensors"))
+    assert shards, f"no *.safetensors under {cfg.src}"
+    sd = {}
+    for s in shards:
+        sd.update(load_file(s))
+    params = _cast_tree(convert_hf_openvla_sd(sd, vlm_cfg), jnp.bfloat16)
+    stats = (json.loads(Path(cfg.dataset_statistics).read_text())
+             if cfg.dataset_statistics else None)
+    blob = {"vision_backbone_id": mc.vision_backbone_id,
+            "llm_backbone_id": mc.llm_backbone_id,
+            "arch_specifier": mc.arch_specifier,
+            "image_resize_strategy": mc.image_resize_strategy,
+            "source_checkpoint": str(cfg.src)}
+    out = save_pretrained(cfg.dst, blob, params, dataset_statistics=stats)
+    overwatch.info(f"imported {cfg.src} -> {out}")
+
+
 if __name__ == "__main__":
     cfg = parse_config(ConvertConfig, sys.argv[1:])
-    {"import_pt": import_pt, "export_pt": export_pt}[cfg.mode](cfg)
+    modes = {"import_pt": import_pt, "export_pt": export_pt,
+             "import_hf": import_hf, "export_hf": export_hf}
+    if cfg.mode not in modes:
+        sys.exit(f"unknown --mode {cfg.mode!r} (choose from {sorted(modes)})")
+    modes[cfg.mode](cfg)
