@@ -80,3 +80,35 @@ def test_slots_recycle(setup):
     finished = eng.run_until_complete(max_steps=30)
     assert set(finished) == {r1, r2}
     assert len(finished[r1]) <= 6 and len(finished[r2]) <= 6
+
+def test_per_slot_budgets_enforced_on_device(setup):
+    """Mixed budgets in one pool: the short-budget slot retires at exactly
+    its max_new_tokens (on-device `remaining` countdown) and frees its slot
+    for the queue while the long one keeps decoding."""
+    cfg, params, tok, pixels = setup
+    prompt_a, prompt_b = "In: short\nOut:", "In: long\nOut:"
+    px_a, px_b = pixels(seed=30), pixels(seed=31)
+    ref_a = _reference_tokens(cfg, params, tok, prompt_a, px_a, max_new=3)
+    ref_b = _reference_tokens(cfg, params, tok, prompt_b, px_b, max_new=16)
+
+    eng = ContinuousServingEngine(cfg, params, tok, num_slots=2,
+                                  cache_len=128, burst=4)
+    ra = eng.submit(prompt_a, px_a, max_new_tokens=3)
+    rb = eng.submit(prompt_b, px_b, max_new_tokens=16)
+    rc = eng.submit(prompt_a, px_a, max_new_tokens=3)  # queued behind a/b
+
+    done_after = {}
+    for step in range(1, 30):
+        for rid, toks in eng.step():
+            done_after[rid] = (step, toks)
+        if not eng.queue and not eng.running:
+            break
+    assert set(done_after) == {ra, rb, rc}
+    # budget-3 requests emit exactly 3 tokens (no EOS in ref prefix)
+    assert done_after[ra][1] == ref_a and len(ref_a) == 3
+    assert done_after[rc][1] == ref_a
+    assert done_after[rb][1][:len(ref_b)] == ref_b
+    # the short request finished strictly before the long one, and the
+    # queued one reused its slot while rb was still running
+    assert done_after[ra][0] < done_after[rb][0]
+    assert done_after[rc][0] <= done_after[rb][0]
