@@ -124,6 +124,22 @@ def main():
         tB = _measure_batch(engine_q, [prompt] * B, pixelsB, DECODE_TOKENS)
         extras["int8_batch8_frames_per_s"] = round(B / tB, 2)
         extras["int8_batch8_agg_tok_s"] = round(B * DECODE_TOKENS / tB, 1)
+
+        # speculative decoding (prompt-lookup drafts, exact greedy): report
+        # the verifier chunk-step cost. zeros weights give full acceptance,
+        # so per-step time is the honest number — realized tok/s on real
+        # text is (accepted+1)/chunk_step (see scripts/bench_speculative.py)
+        from emmax_tpu.serving.speculative import SpeculativeEngine
+
+        K = 8
+        spec = SpeculativeEngine(cfg, qparams, tok, options=opts, draft_k=K)
+        ts_long = _measure(spec, prompt, pixels, DECODE_TOKENS)
+        steps_long = spec.last_steps
+        ts_short = _measure(spec, prompt, pixels, 8)
+        per_step = (ts_long - ts_short) / max(steps_long - spec.last_steps, 1)
+        extras["spec_chunk_step_ms"] = round(per_step * 1e3, 2)
+        extras["spec_overhead_vs_token_x"] = round(per_step / per_tok_q, 3)
+        extras["spec_fullaccept_tok_s"] = round((K + 1) / per_step, 1)
     except Exception as e:  # pragma: no cover
         extras["int8_error"] = str(e)[:120]
 

@@ -67,7 +67,12 @@ def _coerce(value: str, ann: Any) -> Any:
     if ann in (str, Any) or ann is Path:
         return Path(value) if ann is Path else value
     if ann is bool:
-        return value.lower() in ("1", "true", "yes", "on")
+        low = value.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"invalid boolean {value!r} (use true/false)")
     if ann in (int, float):
         return ann(value)
     if isinstance(ann, type) and issubclass(ann, Enum):

@@ -189,7 +189,7 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
 
 def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
              init_if_missing: bool = False, attn_impl: str = "auto",
-             quantize_int8: bool = False):
+             quantize_int8: bool = False, speculative: bool = False):
     """Load a VLA policy (run dir with config + stats sidecars) →
     ``EmmaXVLA`` (reference: ``load_vla``, ``models/load.py:121-228``)."""
     from emmax_tpu.models.vla import EmmaXVLA
@@ -211,4 +211,5 @@ def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
                     proprio_stats = entry
     return EmmaXVLA(cfg, params, tokenizer, transforms,
                     norm_stats=norm_stats, proprio_stats=proprio_stats,
-                    llm_family=family, attn_impl=attn_impl)
+                    llm_family=family, attn_impl=attn_impl,
+                    speculative=speculative)

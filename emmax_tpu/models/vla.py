@@ -54,6 +54,8 @@ class EmmaXVLA:
         attn_impl: str = "auto",
         action_dim: int = 7,
         options: Optional[GenerateOptions] = None,
+        speculative: bool = False,
+        draft_k: int = 8,
     ) -> None:
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -62,10 +64,20 @@ class EmmaXVLA:
         self.proprio_stats = proprio_stats
         self.llm_family = llm_family
         self.action_dim = action_dim
-        self.engine = ServingEngine(
-            cfg, params, tokenizer,
-            options=options or GenerateOptions(eos_id=tokenizer.eos_id),
-            attn_impl=attn_impl)
+        options = options or GenerateOptions(eos_id=tokenizer.eos_id)
+        if speculative:
+            # prompt-lookup speculative greedy decode — identical tokens,
+            # fewer verifier forwards on repetitive GCOT output (see
+            # docs/BENCHMARKS.md); greedy-only
+            from emmax_tpu.serving.speculative import SpeculativeEngine
+
+            self.engine = SpeculativeEngine(cfg, params, tokenizer,
+                                            options=options,
+                                            attn_impl=attn_impl,
+                                            draft_k=draft_k)
+        else:
+            self.engine = ServingEngine(cfg, params, tokenizer,
+                                        options=options, attn_impl=attn_impl)
         self.action_tokenizer = ActionTokenizer(tokenizer)
         self.solver = Solver(self.action_tokenizer)
 

@@ -41,6 +41,7 @@ class BridgeEvalConfig:
     control_frequency: float = 5.0            # run_bridgev2_eval.py:89
     max_new_tokens: int = 512
     action_type: str = "act"                  # act | pos
+    speculative: bool = False                 # prompt-lookup greedy decode
     use_detector: bool = False                # OWL-ViT+SAM (downloads)
     dummy: bool = False                       # mock env, no robot
     save_dir: Path = Path("rollouts")
@@ -103,14 +104,16 @@ def main(cfg: BridgeEvalConfig) -> None:
         vla = EmmaXVLA(vcfg, init_vlm_params(jax.random.PRNGKey(0), vcfg),
                        ByteLevelTokenizer(512),
                        {n: ImageTransformConfig(size=v.img_size)
-                        for n, v in vcfg.vision})
+                        for n, v in vcfg.vision},
+                       speculative=cfg.speculative)
         cfg.dummy = True
         cfg.max_new_tokens = min(cfg.max_new_tokens, 16)
     else:
         from emmax_tpu.models.load import load_vla
 
         vla = load_vla(cfg.pretrained_checkpoint,
-                       tokenizer_path=cfg.tokenizer_path)
+                       tokenizer_path=cfg.tokenizer_path,
+                       speculative=cfg.speculative)
 
     locator = GripperLocator(
         backend=HFDetectorBackend() if cfg.use_detector else None)

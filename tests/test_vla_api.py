@@ -201,3 +201,27 @@ def test_export_import_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(leaf, np.float32), np.asarray(dict(flat_b)[path]),
             atol=1e-6, err_msg=str(path))
+
+
+def test_speculative_vla_same_actions(vla):
+    """EmmaXVLA(speculative=True) is a drop-in: same actions + text."""
+    cfg, params = vla.cfg, vla.engine.params
+    spec_vla = EmmaXVLA(cfg, params, vla.tokenizer, vla.transforms,
+                        norm_stats=vla.norm_stats,
+                        proprio_stats=vla.proprio_stats, speculative=True)
+    rng = np.random.default_rng(4)
+    frame = _frame(rng)
+    prompt = vla.get_prompt("stack the blocks", gripper_position=(20, 30))
+    a_ref, t_ref = vla.generate_actions(frame, prompt, max_new_tokens=16)
+    a_spec, t_spec = spec_vla.generate_actions(frame, prompt,
+                                               max_new_tokens=16)
+    assert t_spec == t_ref
+    assert len(a_spec) == len(a_ref)
+    for x, y in zip(a_spec, a_ref):
+        np.testing.assert_allclose(x, y)
+    # predict_action path (suffix_ids) also goes through the spec engine
+    p_ref = vla.predict_action(frame, "Pick Up The Fork",
+                               unnorm_key="bridge_orig")
+    p_spec = spec_vla.predict_action(frame, "Pick Up The Fork",
+                                     unnorm_key="bridge_orig")
+    np.testing.assert_allclose(p_spec, p_ref)
