@@ -190,7 +190,13 @@ def make_dataset_from_rlds(
         raise FileNotFoundError(f"no {name}-{split} tfrecords in {data_dir}")
     ds = tf.data.TFRecordDataset([str(f) for f in files])
     ds = ds.map(_parse_episode, num_parallel_calls=tf.data.AUTOTUNE)
-    standardize_fn = standardize_fn or STANDARDIZE_FNS.get(name)
+    if standardize_fn is None:
+        standardize_fn = STANDARDIZE_FNS.get(name)
+    if standardize_fn is None:
+        # fall back to the full OXE registry (emmax_tpu.data.oxe)
+        from emmax_tpu.data.oxe import OXE_STANDARDIZATION_TRANSFORMS
+
+        standardize_fn = OXE_STANDARDIZATION_TRANSFORMS.get(name)
     if standardize_fn is not None:
         ds = ds.map(standardize_fn, num_parallel_calls=tf.data.AUTOTUNE)
 
