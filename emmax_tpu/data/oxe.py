@@ -840,3 +840,54 @@ def get_oxe_dataset_kwargs_and_weights(
 
             warnings.warn(f"skipping {name}: {e}")
     return per_dataset, weights
+
+
+# === DROID wrist-frame / R6 actions (oxe/utils/droid_utils.py) ===============
+
+def tf_euler_to_rmat(e):
+    """[..., 3] XYZ euler → [..., 3, 3] rotation matrix (R = Rz @ Ry @ Rx,
+    the tensorflow_graphics ``rotation_matrix_3d.from_euler`` convention —
+    inverse of ``tf_quat_to_euler``'s extraction)."""
+    cx, cy, cz = tf.cos(e[..., 0]), tf.cos(e[..., 1]), tf.cos(e[..., 2])
+    sx, sy, sz = tf.sin(e[..., 0]), tf.sin(e[..., 1]), tf.sin(e[..., 2])
+    r00 = cz * cy
+    r01 = cz * sy * sx - sz * cx
+    r02 = cz * sy * cx + sz * sx
+    r10 = sz * cy
+    r11 = sz * sy * sx + cz * cx
+    r12 = sz * sy * cx - cz * sx
+    r20 = -sy
+    r21 = cy * sx
+    r22 = cy * cx
+    return tf.stack([tf.stack([r00, r01, r02], -1),
+                     tf.stack([r10, r11, r12], -1),
+                     tf.stack([r20, r21, r22], -1)], -2)
+
+
+def tf_rotmat_to_rot6d(mat):
+    """[..., 3, 3] → [..., 6]: first two rows (the R6 representation)."""
+    return tf.concat([mat[..., 0, :], mat[..., 1, :]], axis=-1)
+
+
+def tf_velocity_to_wrist_frame(velocity, wrist_pose):
+    """Base-frame 6-D velocity → wrist-frame [3 translation + 6 R6 rotation]
+    (``droid_utils.velocity_act_to_wrist_frame``): dT' = R⁻¹ dT,
+    dR' = R⁻¹ dR R with R the wrist orientation in base frame."""
+    R = tf_euler_to_rmat(wrist_pose[:, 3:6])
+    R_inv = tf.linalg.matrix_transpose(R)
+    vel_t = (R_inv @ velocity[:, :3][..., None])[..., 0]
+    dR = R_inv @ (tf_euler_to_rmat(velocity[:, 3:6]) @ R)
+    return tf.concat([vel_t, tf_rotmat_to_rot6d(dR)], axis=-1)
+
+
+def droid_wristact(traj: Traj) -> Traj:
+    """DROID with EEF_R6 wrist-frame actions: [3 + 6 + 1] = 10-dim."""
+    wrist = tf_velocity_to_wrist_frame(
+        traj["action_dict"]["cartesian_velocity"],
+        traj["observation"]["cartesian_position"])
+    traj["action"] = tf.concat(
+        [wrist, traj["action_dict"]["gripper_position"]], axis=-1)
+    o = traj["observation"]
+    o["proprio"] = tf.concat([o["cartesian_position"], o["gripper_position"]],
+                             axis=-1)
+    return traj

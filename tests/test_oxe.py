@@ -226,3 +226,57 @@ def test_rlds_pipeline_uses_oxe_registry(tmp_path):
     # gripper binarized by the OXE transform
     assert set(np.unique(traj["action"][:, -1])) <= {0.0, 1.0}
     assert traj["observation"]["EEF_state"].shape == (T, 6)
+
+
+def test_euler_rmat_roundtrip_and_scipy():
+    scipy_tf = pytest.importorskip("scipy.spatial.transform")
+    rng = np.random.default_rng(6)
+    e = rng.uniform(-1.2, 1.2, size=(6, 3))
+    R = oxe.tf_euler_to_rmat(tf.constant(e, tf.float32)).numpy()
+    want = scipy_tf.Rotation.from_euler("xyz", e).as_matrix()
+    np.testing.assert_allclose(R, want, atol=1e-5)
+    # and it inverts tf_quat_to_euler
+    q = scipy_tf.Rotation.from_euler("xyz", e).as_quat()
+    e_back = oxe.tf_quat_to_euler(tf.constant(q, tf.float32)).numpy()
+    np.testing.assert_allclose(e_back, e, atol=1e-5)
+
+
+def test_droid_wrist_frame_velocity():
+    scipy_tf = pytest.importorskip("scipy.spatial.transform")
+    rng = np.random.default_rng(7)
+    T = 5
+    vel = rng.normal(size=(T, 6)).astype(np.float32) * 0.3
+    pose = rng.normal(size=(T, 6)).astype(np.float32) * 0.5
+    got = oxe.tf_velocity_to_wrist_frame(tf.constant(vel),
+                                         tf.constant(pose)).numpy()
+    assert got.shape == (T, 9)
+    R = scipy_tf.Rotation.from_euler("xyz", pose[:, 3:6]).as_matrix()
+    dR = scipy_tf.Rotation.from_euler("xyz", vel[:, 3:6]).as_matrix()
+    for t in range(T):
+        want_t = R[t].T @ vel[t, :3]
+        np.testing.assert_allclose(got[t, :3], want_t, atol=1e-5)
+        want_rot = R[t].T @ dR[t] @ R[t]
+        np.testing.assert_allclose(got[t, 3:].reshape(2, 3),
+                                   want_rot[:2], atol=1e-5)
+
+
+def test_droid_wristact_action_shape():
+    T = 4
+    rng = np.random.default_rng(8)
+    traj = {
+        "action_dict": {
+            "cartesian_velocity": tf.constant(
+                rng.normal(size=(T, 6)), tf.float32),
+            "gripper_position": tf.constant(
+                rng.uniform(size=(T, 1)), tf.float32),
+        },
+        "observation": {
+            "cartesian_position": tf.constant(
+                rng.normal(size=(T, 6)), tf.float32),
+            "gripper_position": tf.constant(
+                rng.uniform(size=(T, 1)), tf.float32),
+        },
+    }
+    out = _through_graph(oxe.droid_wristact, traj)
+    assert out["action"].shape == (T, 10)   # 3 + R6 + gripper
+    assert out["observation"]["proprio"].shape == (T, 7)
