@@ -140,6 +140,27 @@ def main(cfg: BridgeEvalConfig) -> None:
                 np.asarray(log.actions))
         (cfg.save_dir / f"episode_{ep}_texts.txt").write_text(
             "\n----\n".join(log.texts))
+        _save_video(cfg.save_dir / f"episode_{ep}.mp4", log.frames,
+                    fps=cfg.control_frequency)
+
+
+def _save_video(path, frames, fps: float = 5.0) -> None:
+    """Rollout mp4 (reference saves episode videos,
+    ``bridgev2_utils.py:96+``). Best-effort: codec problems only warn."""
+    if not frames:
+        return
+    try:
+        import cv2
+
+        h, w = np.asarray(frames[0]).shape[:2]
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             float(fps), (w, h))
+        for f in frames:
+            vw.write(np.ascontiguousarray(np.asarray(f)[..., ::-1]))
+        vw.release()
+        overwatch.info(f"saved rollout video -> {path}")
+    except Exception as e:  # pragma: no cover
+        overwatch.warning(f"video save failed ({e}); frames kept in memory only")
 
 
 if __name__ == "__main__":
