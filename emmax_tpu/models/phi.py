@@ -130,10 +130,27 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
     else:
         S = kv_cache["k"].shape[2]
         t0 = kv_cache["len"]
-        slot_mask = jax.lax.dynamic_update_slice(
-            kv_cache["mask"],
-            (mask if mask is not None else jnp.ones((B, L), jnp.bool_)),
-            (0, t0))
+        per_row = jnp.asarray(t0).ndim > 0   # per-row cursors (see llama.py)
+        new_valid = (mask if mask is not None
+                     else jnp.ones((B, L), jnp.bool_))
+        if per_row:
+            slot_mask = jax.vmap(
+                lambda m, v, t: jax.lax.dynamic_update_slice(m, v, (t,))
+            )(kv_cache["mask"], new_valid, t0)
+        else:
+            slot_mask = jax.lax.dynamic_update_slice(
+                kv_cache["mask"], new_valid, (0, t0))
+
+        if per_row:
+            def _write(cache_all, new, i):
+                updated = jax.vmap(
+                    lambda c, n, t: jax.lax.dynamic_update_slice(
+                        c, n, (t, 0, 0)))(cache_all[i], new, t0)
+                return cache_all.at[i].set(updated)
+        else:
+            def _write(cache_all, new, i):
+                return jax.lax.dynamic_update_slice(
+                    cache_all, new[None], (i, 0, t0, 0, 0))
 
         # fori_loop for in-place cache updates (see llama.py — scan would
         # copy the whole cache per decoded token)
@@ -149,10 +166,8 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
             v = (x @ p["wv"] + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
             k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k.astype(k_all.dtype)[None], (i, 0, t0, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v.astype(v_all.dtype)[None], (i, 0, t0, 0, 0))
+            k_all = _write(k_all, k.astype(k_all.dtype), i)
+            v_all = _write(v_all, v.astype(v_all.dtype), i)
             k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
             v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
             attn = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,

@@ -137,3 +137,27 @@ def test_rejects_sampling_options(setup):
     with pytest.raises(ValueError):
         SpeculativeEngine(cfg, params, tok,
                           options=GenerateOptions(temperature=0.7))
+
+
+def test_speculative_phi_backbone():
+    """Per-row cache cursors in the Phi decoder: SpeculativeEngine is a
+    drop-in for a Phi-2-style backbone too."""
+    import dataclasses
+
+    from emmax_tpu.models.phi import PhiConfig
+
+    base = tiny_vlm_config(vocab_size=512)
+    phi = PhiConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                    n_kv_heads=4, hidden_dim=128, max_seq_len=256)
+    cfg = dataclasses.replace(base, llm=phi)
+    params = init_vlm_params(jax.random.PRNGKey(5), cfg)
+    tok = ByteLevelTokenizer(vocab_size=512)
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4)
+    rng = np.random.default_rng(6)
+    pixels = _pixels(cfg, rng, 2)
+    prompts = ["In: phi a\nOut:", "In: phi longer instruction b\nOut:"]
+    want = plain.generate_ids(prompts, pixels, max_new_tokens=16)
+    got = spec.generate_ids(prompts, pixels, max_new_tokens=16)
+    np.testing.assert_array_equal(got, want)
