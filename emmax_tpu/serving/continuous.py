@@ -33,12 +33,19 @@ from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal,
                                   llm_apply)
 
 
-@partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl"))
+_CACHE_KEYS = ("k", "v", "k_scale", "v_scale")
+
+
+@partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl",
+                                   "quantized_cache"))
 def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
-                    *, cache_len: int, attn_impl: str):
-    """B=1 multimodal prefill → (first_token, k, v, slot_mask, used_len)."""
+                    *, cache_len: int, attn_impl: str,
+                    quantized_cache: bool = False):
+    """B=1 multimodal prefill → (first_token, cache_tensors, slot_mask,
+    used_len)."""
     compute_dtype = params["llm"]["embed"].dtype
-    cache = init_kv_cache(cfg.llm, 1, cache_len, dtype=compute_dtype)
+    cache = init_kv_cache(cfg.llm, 1, cache_len, dtype=compute_dtype,
+                          quantized=quantized_cache)
     patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
@@ -47,17 +54,18 @@ def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
                               positions=positions, kv_cache=cache,
                               attn_impl=attn_impl)
     first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)[0]
-    return (first.astype(jnp.int32), cache["k"], cache["v"],
-            cache["mask"][0], positions[0, -1] + 1)
+    tensors = {key: cache[key] for key in _CACHE_KEYS if key in cache}
+    return (first.astype(jnp.int32), tensors, cache["mask"][0],
+            positions[0, -1] + 1)
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
-def _insert_slot(pool, slot: int, k1, v1, slot_mask1, used_len, first_tok,
+def _insert_slot(pool, slot: int, tensors, slot_mask1, used_len, first_tok,
                  max_new):
     """Copy a prefilled single-request cache into pool slot ``slot``."""
     pool = dict(pool)
-    pool["k"] = pool["k"].at[:, slot].set(k1[:, 0])
-    pool["v"] = pool["v"].at[:, slot].set(v1[:, 0])
+    for key, t1 in tensors.items():
+        pool[key] = pool[key].at[:, slot].set(t1[:, 0])
     pool["mask"] = pool["mask"].at[slot].set(slot_mask1)
     pool["len"] = pool["len"].at[slot].set(used_len.astype(jnp.int32))
     pool["cur"] = pool["cur"].at[slot].set(first_tok)
@@ -81,8 +89,9 @@ def _decode_burst(params, pool, *, cfg: VLMConfig, burst: int, eos_id: int,
         cur = pool["cur"]
         active = pool["active"]
         emb = embed_tokens(params["llm"], cur[:, None])
-        cache = {"k": pool["k"], "v": pool["v"], "mask": pool["mask"],
-                 "len": jnp.minimum(cursors, S - 1)}
+        cache = {key: pool[key] for key in _CACHE_KEYS if key in pool}
+        cache["mask"] = pool["mask"]
+        cache["len"] = jnp.minimum(cursors, S - 1)
         lg, new_cache = llm_apply(params["llm"], cfg.llm, emb,
                                   positions=cursors[:, None],
                                   kv_cache=cache, attn_impl=attn_impl)
@@ -92,7 +101,8 @@ def _decode_burst(params, pool, *, cfg: VLMConfig, burst: int, eos_id: int,
                               pool["remaining"])
         # per-slot token budget: retire at EOS or when max_new is spent
         active = active & (cur != eos_id) & (remaining > 0)
-        pool = {"k": new_cache["k"], "v": new_cache["v"],
+        pool = {**{key: new_cache[key] for key in _CACHE_KEYS
+                   if key in new_cache},
                 "mask": new_cache["mask"],
                 # advance only live rows; clamp to stay in bounds
                 "len": jnp.where(active,
@@ -122,7 +132,7 @@ class ContinuousServingEngine:
 
     def __init__(self, cfg: VLMConfig, params, tokenizer, *,
                  num_slots: int = 8, cache_len: int = 1024, burst: int = 16,
-                 attn_impl: str = "xla") -> None:
+                 attn_impl: str = "xla", quantized_cache: bool = False) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -130,10 +140,12 @@ class ContinuousServingEngine:
         self.cache_len = cache_len
         self.burst = burst
         self.attn_impl = attn_impl
+        self.quantized_cache = quantized_cache
         compute_dtype = params["llm"]["embed"].dtype
         base = init_kv_cache(cfg.llm, num_slots, cache_len,
-                             dtype=compute_dtype)
-        self.pool = {"k": base["k"], "v": base["v"], "mask": base["mask"],
+                             dtype=compute_dtype, quantized=quantized_cache)
+        self.pool = {**{key: base[key] for key in _CACHE_KEYS if key in base},
+                     "mask": base["mask"],
                      "len": jnp.zeros((num_slots,), jnp.int32),
                      "cur": jnp.zeros((num_slots,), jnp.int32),
                      "remaining": jnp.zeros((num_slots,), jnp.int32),
@@ -157,11 +169,12 @@ class ContinuousServingEngine:
             slot = free.pop(0)
             req = self.queue.pop(0)
             mask = jnp.ones(req.prompt_ids.shape, jnp.bool_)
-            first, k1, v1, m1, used = _prefill_single(
+            first, tensors, m1, used = _prefill_single(
                 self.params, self.cfg, jnp.asarray(req.prompt_ids), mask,
                 req.pixel_values, cache_len=self.cache_len,
-                attn_impl=self.attn_impl)
-            self.pool = _insert_slot(self.pool, slot, k1, v1, m1, used,
+                attn_impl=self.attn_impl,
+                quantized_cache=self.quantized_cache)
+            self.pool = _insert_slot(self.pool, slot, tensors, m1, used,
                                      first, jnp.int32(req.max_new_tokens))
             req.slot = slot
             self.running[slot] = req

@@ -112,3 +112,25 @@ def test_per_slot_budgets_enforced_on_device(setup):
     # queued one reused its slot while rb was still running
     assert done_after[ra][0] < done_after[rb][0]
     assert done_after[rc][0] <= done_after[rb][0]
+
+def test_quantized_pool_matches_quantized_static(setup):
+    """int8 KV-cache pool: tokens match the static engine's quantized-cache
+    decode (same quantization points: prefill writes + per-token writes)."""
+    cfg, params, tok, pixels = setup
+    prompt = "In: quantized pool\nOut:"
+    px = pixels(seed=40)
+    static = ServingEngine(cfg, params, tok,
+                           options=GenerateOptions(eos_id=tok.eos_id),
+                           quantized_cache=True)
+    out = static.generate_ids([prompt], px, max_new_tokens=10)[0]
+    ref = [int(t) for t in out]
+    if tok.eos_id in ref:
+        ref = ref[:ref.index(tok.eos_id)]
+
+    eng = ContinuousServingEngine(cfg, params, tok, num_slots=2,
+                                  cache_len=128, burst=4,
+                                  quantized_cache=True)
+    assert "k_scale" in eng.pool and eng.pool["k"].dtype.name == "int8"
+    rid = eng.submit(prompt, px, max_new_tokens=10)
+    finished = eng.run_until_complete(max_steps=10)
+    assert finished[rid][:len(ref)] == ref
