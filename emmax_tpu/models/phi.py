@@ -152,10 +152,20 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
                 return jax.lax.dynamic_update_slice(
                     cache_all, new[None], (i, 0, t0, 0, 0))
 
+        quant = "k_scale" in kv_cache   # int8 cache (see llama.py)
+        compute_dtype = inputs_embeds.dtype
+
+        def _read(all_vals, all_scales, i):
+            vals = jax.lax.dynamic_index_in_dim(all_vals, i, 0, keepdims=False)
+            if all_scales is None:
+                return vals
+            sc = jax.lax.dynamic_index_in_dim(all_scales, i, 0, keepdims=False)
+            return vals.astype(compute_dtype) * sc.astype(compute_dtype)
+
         # fori_loop for in-place cache updates (see llama.py — scan would
         # copy the whole cache per decoded token)
         def body(i, carry):
-            h, k_all, v_all = carry
+            h, k_all, v_all, ks_all, vs_all = carry
             p = jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
                                                        keepdims=False),
@@ -166,21 +176,36 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
             v = (x @ p["wv"] + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
             k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
-            k_all = _write(k_all, k.astype(k_all.dtype), i)
-            v_all = _write(v_all, v.astype(v_all.dtype), i)
-            k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
-            v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
+            if quant:
+                from emmax_tpu.models.llama import _quantize_kv
+
+                kq, ks = _quantize_kv(k)
+                vq, vs = _quantize_kv(v)
+                k_all = _write(k_all, kq, i)
+                v_all = _write(v_all, vq, i)
+                ks_all = _write(ks_all, ks, i)
+                vs_all = _write(vs_all, vs, i)
+            else:
+                k_all = _write(k_all, k.astype(k_all.dtype), i)
+                v_all = _write(v_all, v.astype(v_all.dtype), i)
+            k_c = _read(k_all, ks_all if quant else None, i)
+            v_c = _read(v_all, vs_all if quant else None, i)
             attn = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                         causal=True, q_offset=t0,
                                         impl=attn_impl)
             attn = attn.reshape(B, L, -1) @ p["wo"] + p["bo"]
             mlp = gelu_new(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
-            return (h + attn + mlp, k_all, v_all)
+            return (h + attn + mlp, k_all, v_all, ks_all, vs_all)
 
-        h, k_all, v_all = jax.lax.fori_loop(
+        dummy = jnp.zeros((cfg.n_layers, 1, 1, 1, 1), jnp.float32)
+        h, k_all, v_all, ks_all, vs_all = jax.lax.fori_loop(
             0, cfg.n_layers, body,
-            (inputs_embeds, kv_cache["k"], kv_cache["v"]))
+            (inputs_embeds, kv_cache["k"], kv_cache["v"],
+             kv_cache.get("k_scale", dummy), kv_cache.get("v_scale", dummy)))
         new_cache = {"k": k_all, "v": v_all, "mask": slot_mask, "len": t0 + L}
+        if quant:
+            new_cache["k_scale"] = ks_all
+            new_cache["v_scale"] = vs_all
 
     h = layer_norm(h, params["final_norm"]["scale"],
                    params["final_norm"]["bias"], cfg.norm_eps)

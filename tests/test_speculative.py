@@ -161,3 +161,29 @@ def test_speculative_phi_backbone():
     want = plain.generate_ids(prompts, pixels, max_new_tokens=16)
     got = spec.generate_ids(prompts, pixels, max_new_tokens=16)
     np.testing.assert_array_equal(got, want)
+
+
+def test_speculative_phi_quantized_cache():
+    """Phi cached path with int8 KV: greedy tokens match the bf16-cache
+    decode on a confidently-separated tiny model (engine + spec engine)."""
+    import dataclasses
+
+    from emmax_tpu.models.phi import PhiConfig
+
+    base = tiny_vlm_config(vocab_size=512)
+    phi = PhiConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                    n_kv_heads=4, hidden_dim=128, max_seq_len=256)
+    cfg = dataclasses.replace(base, llm=phi)
+    params = init_vlm_params(jax.random.PRNGKey(7), cfg)
+    tok = ByteLevelTokenizer(vocab_size=512)
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    rng = np.random.default_rng(8)
+    pixels = _pixels(cfg, rng, 1)
+    plain_q = ServingEngine(cfg, params, tok, options=opts,
+                            quantized_cache=True)
+    spec_q = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=3,
+                               quantized_cache=True)
+    want = plain_q.generate_ids(["In: q phi\nOut:"], pixels,
+                                max_new_tokens=12)
+    got = spec_q.generate_ids(["In: q phi\nOut:"], pixels, max_new_tokens=12)
+    np.testing.assert_array_equal(got, want)
