@@ -112,15 +112,17 @@ def rel2abs_gripper_actions(actions: np.ndarray) -> np.ndarray:
     opening = actions < -0.1
     closing = actions > 0.1
     out = np.empty_like(actions)
-    # carry the last commanded state through no-ops; default open (1)
+    # carry the last commanded state through no-ops; back-fill leading
+    # no-ops with the INVERSE of the first command (a close command implies
+    # the gripper was open before it — reference data_utils.py:155-157);
+    # default open (1) when the trajectory has no command at all
     state = 1.0
-    # find first command to back-fill leading no-ops
     for a in actions:
-        if a < -0.1:
-            state = 1.0
-            break
-        if a > 0.1:
+        if a < -0.1:   # first command opens → gripper was closed before
             state = 0.0
+            break
+        if a > 0.1:    # first command closes → gripper was open before
+            state = 1.0
             break
     for i, a in enumerate(actions):
         if opening[i]:

@@ -59,15 +59,16 @@ def tf_binarize_gripper(g):
 
 def tf_rel2abs_gripper(g):
     """Relative open/close commands → absolute [0,1] state, +1 = open:
-    carry the last command through no-ops, back-fill leading no-ops from the
-    first command, default open (mirrors ``normalization.
-    rel2abs_gripper_actions`` / reference ``data_utils.py:145-163``)."""
+    carry the last command through no-ops, back-fill leading no-ops with the
+    INVERSE of the first command (a close implies previously-open —
+    reference ``data_utils.py:155-157``), default open (mirrors
+    ``normalization.rel2abs_gripper_actions`` / ``data_utils.py:145-163``)."""
     g = tf.cast(g, tf.float32)
     cmd = tf.where(g < -0.1, tf.ones_like(g),
                    tf.where(g > 0.1, tf.zeros_like(g), -tf.ones_like(g)))
     has_cmd = tf.reduce_any(cmd >= 0.0)
     first_idx = tf.argmax(tf.cast(cmd >= 0.0, tf.int32))
-    init = tf.where(has_cmd, tf.gather(cmd, first_idx), 1.0)
+    init = tf.where(has_cmd, 1.0 - tf.gather(cmd, first_idx), 1.0)
     return tf.scan(lambda s, c: tf.where(c >= 0.0, c, s), cmd,
                    initializer=init)
 

@@ -17,6 +17,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from emmax_tpu.models.llama import mm
 from emmax_tpu.ops.attention import multi_head_attention
 from emmax_tpu.ops.norms import layer_norm
 from emmax_tpu.ops.rope import rope_cos_sin, rotate_half
@@ -114,15 +115,15 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
     if kv_cache is None:
         def body(h, p):
             x = layer_norm(h, p["ln_scale"], p["ln_bias"], cfg.norm_eps)
-            q = (x @ p["wq"] + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
-            k = (x @ p["wk"] + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
-            v = (x @ p["wv"] + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            q = (mm(x, p["wq"]) + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+            k = (mm(x, p["wk"]) + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            v = (mm(x, p["wv"]) + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
             k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
             attn = multi_head_attention(q, k, v, kv_mask=mask, causal=True,
                                         impl=attn_impl)
-            attn = attn.reshape(B, L, -1) @ p["wo"] + p["bo"]
-            mlp = gelu_new(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+            attn = mm(attn.reshape(B, L, -1), p["wo"]) + p["bo"]
+            mlp = mm(gelu_new(mm(x, p["w1"]) + p["b1"]), p["w2"]) + p["b2"]
             return h + attn + mlp, None   # parallel residual
 
         body_fn = jax.checkpoint(body) if remat else body
@@ -171,9 +172,9 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
                                                        keepdims=False),
                 params["layers"])
             x = layer_norm(h, p["ln_scale"], p["ln_bias"], cfg.norm_eps)
-            q = (x @ p["wq"] + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
-            k = (x @ p["wk"] + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
-            v = (x @ p["wv"] + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            q = (mm(x, p["wq"]) + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+            k = (mm(x, p["wk"]) + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
+            v = (mm(x, p["wv"]) + p["bv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             q = _apply_partial_rope(q, cos, sin, cfg.rotary_dim)
             k = _apply_partial_rope(k, cos, sin, cfg.rotary_dim)
             if quant:
@@ -193,8 +194,8 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
             attn = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                         causal=True, q_offset=t0,
                                         impl=attn_impl)
-            attn = attn.reshape(B, L, -1) @ p["wo"] + p["bo"]
-            mlp = gelu_new(x @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+            attn = mm(attn.reshape(B, L, -1), p["wo"]) + p["bo"]
+            mlp = mm(gelu_new(mm(x, p["w1"]) + p["b1"]), p["w2"]) + p["b2"]
             return (h + attn + mlp, k_all, v_all, ks_all, vs_all)
 
         dummy = jnp.zeros((cfg.n_layers, 1, 1, 1, 1), jnp.float32)
@@ -209,7 +210,7 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
 
     h = layer_norm(h, params["final_norm"]["scale"],
                    params["final_norm"]["bias"], cfg.norm_eps)
-    logits = (h @ params["lm_head"]["kernel"]
+    logits = (mm(h, params["lm_head"]["kernel"])
               + params["lm_head"]["bias"]).astype(logits_dtype)
     return logits, new_cache
 

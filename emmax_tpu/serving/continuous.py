@@ -160,6 +160,17 @@ class ContinuousServingEngine:
                max_new_tokens: int = 512) -> int:
         rid = next(self._ids)
         ids = np.asarray([self.tokenizer.encode(prompt)], np.int32)
+        # Reject up-front if the fused sequence (patches spliced after BOS
+        # plus the prompt) and the decode budget cannot fit in a slot —
+        # otherwise the burst would clamp the cursor at cache_len-1 and
+        # silently overwrite the final KV slot while RoPE positions grow.
+        fused = ids.shape[1] + self.cfg.num_patches
+        need = fused + max_new_tokens
+        if need > self.cache_len:
+            raise ValueError(
+                f"request needs {need} cache slots ({fused} fused prompt + "
+                f"{max_new_tokens} new tokens) but cache_len={self.cache_len}; "
+                "shorten the prompt/max_new_tokens or raise cache_len")
         self.queue.append(_Request(rid, ids, pixel_values, max_new_tokens))
         return rid
 

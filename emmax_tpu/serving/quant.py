@@ -19,7 +19,9 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# llama-family (w_gate/w_up/w_down) + phi-family (w1/w2) matmul weights;
+# biases and norms are never quantized
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "w1", "w2")
 
 
 def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
@@ -44,9 +46,19 @@ def quantize_llm_params(llm_params: Dict[str, Any]) -> Dict[str, Any]:
         if key in layers and not isinstance(layers[key], dict):
             layers[key] = quantize_weight(layers[key])
     out["layers"] = layers
-    if "lm_head" in out and not isinstance(out["lm_head"], dict):
-        out["lm_head"] = quantize_weight(out["lm_head"])
+    out["lm_head"] = _quantize_lm_head(out.get("lm_head"), quantize_weight)
     return out
+
+
+def _quantize_lm_head(lm_head, quant_fn):
+    """Dense array (llama) or {"kernel", "bias"} dict (phi) → quantized."""
+    if lm_head is None:
+        return None
+    if isinstance(lm_head, dict):
+        if "kernel" in lm_head and not isinstance(lm_head["kernel"], dict):
+            return {**lm_head, "kernel": quant_fn(lm_head["kernel"])}
+        return lm_head  # already quantized
+    return quant_fn(lm_head)
 
 
 def quantize_vlm_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -78,7 +90,7 @@ def quantize_vlm_params_np(params: Dict[str, Any]) -> Dict[str, Any]:
             layers[key] = quantize_weight_np(np.asarray(layers[key]))
     llm = dict(params["llm"])
     llm["layers"] = layers
-    if "lm_head" in llm and not isinstance(llm["lm_head"], dict):
-        llm["lm_head"] = quantize_weight_np(np.asarray(llm["lm_head"]))
+    llm["lm_head"] = _quantize_lm_head(
+        llm.get("lm_head"), lambda w: quantize_weight_np(np.asarray(w)))
     out["llm"] = llm
     return out

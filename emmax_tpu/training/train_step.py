@@ -52,7 +52,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
                     stop_vision_gradient: bool = False,
                     compute_dtype=jnp.bfloat16,
                     grad_accum_steps: int = 1,
-                    transforms: Optional[Dict] = None):
+                    transforms: Optional[Dict] = None,
+                    action_vocab_size: Optional[int] = None):
     """Returns ``train_step(state, batch) -> (state, metrics)`` ready to jit.
 
     ``batch``: {"input_ids", "attention_mask", "labels"} plus either
@@ -88,8 +89,13 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
              jnp.full((batch["labels"].shape[0], P), IGNORE_INDEX,
                       batch["labels"].dtype),
              batch["labels"][:, 1:]], axis=1)
-        acc, l1 = action_token_metrics(logits, fused_labels,
-                                       vocab_size=cfg.llm.vocab_size)
+        # Action-token ids anchor to the tokenizer's BASE vocab (32000 for
+        # Llama-2), not the padded embedding-row count (32064) — the
+        # reference metric uses tokenizer.vocab_size
+        # (base_strategy.py:402-417, action_tokenizer.py:34-36).
+        acc, l1 = action_token_metrics(
+            logits, fused_labels,
+            vocab_size=action_vocab_size or cfg.llm.vocab_size)
         return loss, {"action_accuracy": acc, "action_l1": l1}
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

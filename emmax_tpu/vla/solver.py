@@ -151,7 +151,11 @@ class Solver:
     @staticmethod
     def compare_movement(pred_pos: np.ndarray, label_pos: np.ndarray):
         dist = float(np.sum(np.abs(pred_pos - label_pos)))
-        relative = float(np.sum(np.abs(dist / label_pos)))
+        # relative L1 guarded against zero label dims (the reference
+        # solver.py:154 divides unguarded and emits RuntimeWarnings/inf)
+        label = np.asarray(label_pos, np.float64)
+        denom = np.where(label == 0.0, 1.0, np.abs(label))
+        relative = float(np.sum(np.abs(dist) / denom))
         return dist, relative, dist == 0
 
     @staticmethod

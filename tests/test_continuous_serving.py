@@ -134,3 +134,11 @@ def test_quantized_pool_matches_quantized_static(setup):
     rid = eng.submit(prompt, px, max_new_tokens=10)
     finished = eng.run_until_complete(max_steps=10)
     assert finished[rid][:len(ref)] == ref
+
+
+def test_submit_rejects_overflowing_request(setup):
+    cfg, params, tok, pixels = setup
+    eng = ContinuousServingEngine(cfg, params, tok, num_slots=1,
+                                  cache_len=64, burst=4)
+    with pytest.raises(ValueError, match="cache slots"):
+        eng.submit("In: pick\nOut:", pixels(), max_new_tokens=512)

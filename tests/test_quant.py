@@ -61,3 +61,33 @@ def test_quantized_engine_generates():
               for name, v in cfg.vision}
     out = engine.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=6)
     assert out.shape == (1, 6)
+
+
+def test_quantized_phi_forward_and_cached_decode():
+    """Phi weight applications go through mm(): int8-quantized phi params
+    must trace and stay close to fp (regression for the raw-@ crash)."""
+    from emmax_tpu.models.phi import PhiConfig, init_phi_params, phi_forward
+
+    cfg = PhiConfig(vocab_size=256, dim=64, n_layers=2, n_heads=4,
+                    n_kv_heads=4, hidden_dim=128, max_seq_len=64)
+    params = init_phi_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_llm_params(params)
+    assert qparams["layers"]["w1"]["q8"].dtype == jnp.int8
+    assert qparams["layers"]["w2"]["q8"].dtype == jnp.int8
+    assert qparams["lm_head"]["kernel"]["q8"].dtype == jnp.int8
+    assert not isinstance(qparams["layers"]["bq"], dict)
+
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(scale=0.1, size=(1, 8, 64))
+                         .astype(np.float32))
+    ref, _ = phi_forward(params, cfg, embeds)
+    out, _ = phi_forward(qparams, cfg, embeds)
+    rel = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 0.1
+
+    # cached decode path with quantized weights traces + runs
+    from emmax_tpu.models.llama import init_kv_cache
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = phi_forward(qparams, cfg, embeds, kv_cache=cache)
+    step, cache = phi_forward(qparams, cfg, embeds[:, -1:], kv_cache=cache)
+    assert step.shape == (1, 1, 256)

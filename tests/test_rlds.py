@@ -114,8 +114,11 @@ def test_gripper_primitives():
     out = binarize_gripper_actions(acts)
     np.testing.assert_array_equal(out, [1, 1, 0, 0, 0, 1, 1])
     rel = np.array([0.0, -1.0, 0.0, 1.0, 0.0])
+    # leading no-op back-filled with the INVERSE of the first command
+    # (first command opens → was closed before; reference
+    # data_utils.py:155-157)
     np.testing.assert_array_equal(rel2abs_gripper_actions(rel),
-                                  [1, 1, 1, 0, 0])
+                                  [0, 1, 1, 0, 0])
 
 
 def test_compute_statistics_shapes():

@@ -213,7 +213,8 @@ def main(cfg: TrainConfig) -> None:
         vlm_cfg, tx, attn_impl=cfg.attn_impl,
         remat=vla.enable_gradient_checkpointing,
         compute_dtype=compute_dtype, transforms=transforms,
-        stop_vision_gradient=vla.freeze_vision_backbone), mesh=mesh)
+        stop_vision_gradient=vla.freeze_vision_backbone,
+        action_vocab_size=tokenizer.vocab_size), mesh=mesh)
     metrics = VLADiscreteMetrics(build_trackers(
         cfg.trackers.split(","), run_id, run_dir,
         hparams=config_to_dict(vla)))
