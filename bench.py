@@ -140,8 +140,29 @@ def main():
         extras["spec_chunk_step_ms"] = round(per_step * 1e3, 2)
         extras["spec_overhead_vs_token_x"] = round(per_step / per_tok_q, 3)
         extras["spec_fullaccept_tok_s"] = round((K + 1) / per_step, 1)
+        del engine_q, qparams, spec
     except Exception as e:  # pragma: no cover
         extras["int8_error"] = str(e)[:120]
+
+    try:
+        # int4 nibble-packed weights (Pallas dequant kernel,
+        # ops/int4_matmul.py): ~half the weight bytes of int8 again
+        q4_shapes = jax.eval_shape(
+            lambda p: quantize_vlm_params(p, bits=4), shapes)
+        q4params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), q4_shapes)
+        engine_q4 = ServingEngine(cfg, q4params, tok, options=opts)
+        t4_full = _measure(engine_q4, prompt, pixels, DECODE_TOKENS)
+        t4_short = _measure(engine_q4, prompt, pixels, 16)
+        per_tok_4 = (t4_full - t4_short) / (DECODE_TOKENS - 16)
+        results["int4"] = {"total_s": t4_full,
+                           "prefill_s": t4_short - 16 * per_tok_4,
+                           "decode_tok_s": 1.0 / per_tok_4}
+        extras["int4_decode_tok_s"] = round(1.0 / per_tok_4, 1)
+        extras["int4_prefill_ms"] = round(results["int4"]["prefill_s"] * 1e3, 1)
+        del engine_q4, q4params
+    except Exception as e:  # pragma: no cover
+        extras["int4_error"] = str(e)[:120]
 
     assert results, "no benchmark variant succeeded"
     best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])

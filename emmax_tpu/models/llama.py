@@ -123,15 +123,45 @@ def _quantize_kv(x):
 def mm(x, w):
     """Matmul that understands quantized weights.
 
-    ``w`` is either a dense array or ``{"q8": int8 [..., in, out],
-    "scale": f32 [..., 1, out]}`` (per-output-channel symmetric int8,
-    ``emmax_tpu.serving.quant``). The int8→bf16 convert fuses into the
-    matmul so HBM traffic for the weight is halved — the win that matters
-    for batch-1 decode, which is weight-bandwidth-bound.
+    ``w`` is a dense array, ``{"q8": int8 [..., in, out], "scale": f32
+    [..., 1, out]}`` (per-output-channel symmetric int8,
+    ``emmax_tpu.serving.quant``), or ``{"q4": int8 [..., in/2, out],
+    "scale": f32 [..., G, out]}`` (nibble-packed group-wise int4,
+    ``emmax_tpu.ops.int4_matmul`` — dequantized inside a Pallas kernel).
+    The int→bf16 convert fuses into the matmul so HBM traffic for the
+    weight is halved (int8) or quartered (int4) — the win that matters for
+    batch-1 decode, which is weight-bandwidth-bound.
     """
     if isinstance(w, dict):
+        if "q4" in w:
+            from emmax_tpu.ops.int4_matmul import int4_matmul
+
+            return int4_matmul(x, w)
         return (x @ w["q8"].astype(x.dtype)) * w["scale"].astype(x.dtype)
     return x @ w
+
+
+def layer_slice(layers: Params, i) -> Params:
+    """Select layer ``i`` from stacked layer params inside a fori_loop body.
+
+    Int4-quantized weights stay STACKED with the traced index attached
+    (``{"q4", "scale", "layer"}``): slicing them here would materialize a
+    full per-layer copy in HBM before the Pallas kernel runs (~2x decode
+    weight traffic, measured); the kernel instead DMAs tiles straight from
+    the stacked array via a scalar-prefetch index_map.
+    """
+    def index(a):
+        return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+    out = {}
+    for key, val in layers.items():
+        if isinstance(val, dict) and "q4" in val:
+            out[key] = {**val, "layer": i}
+        elif isinstance(val, dict):
+            out[key] = {k: index(v) for k, v in val.items()}
+        else:
+            out[key] = index(val)
+    return out
 
 
 def _layer(h, layer_params, cos, sin, kv_mask, cfg: LlamaConfig,
@@ -234,10 +264,7 @@ def llama_forward(
 
         def body(i, carry):
             h, k_all, v_all, ks_all, vs_all = carry
-            p = jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
-                                                       keepdims=False),
-                params["layers"])
+            p = layer_slice(params["layers"], i)
             x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
             k_new = mm(x, p["wk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)
             v_new = mm(x, p["wv"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)

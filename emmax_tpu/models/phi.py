@@ -167,10 +167,9 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
         # copy the whole cache per decoded token)
         def body(i, carry):
             h, k_all, v_all, ks_all, vs_all = carry
-            p = jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
-                                                       keepdims=False),
-                params["layers"])
+            from emmax_tpu.models.llama import layer_slice
+
+            p = layer_slice(params["layers"], i)
             x = layer_norm(h, p["ln_scale"], p["ln_bias"], cfg.norm_eps)
             q = (mm(x, p["wq"]) + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             k = (mm(x, p["wk"]) + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)

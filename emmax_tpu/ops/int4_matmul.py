@@ -1,0 +1,273 @@
+"""Int4 weight-only matmul (Pallas TPU kernel + XLA fallback).
+
+Batch-1 decode on one chip is weight-bandwidth-bound: every token reads the
+full LLM weights once, so tokens/sec ≈ HBM_bandwidth / weight_bytes. Int8
+(``serving/quant.py``) halves weight bytes vs bf16; this module halves them
+again by packing two 4-bit values per int8 byte and dequantizing *inside*
+a Pallas kernel feeding the MXU — the unpacked weights never touch HBM.
+(``jnp.int4`` itself does not lower through the remote TPU compiler, hence
+the hand-packed nibbles.)
+
+This replaces the role of the reference's bitsandbytes 4-bit path
+(``/root/reference/vla-scripts/extern/verify_openvla.py:31-60``
+``load_in_4bit``) with a TPU-native design.
+
+Layout (per weight ``w: [..., D, F]``):
+- values are group-quantized along the input dim: groups of ``group`` rows
+  share a per-output-channel scale → ``scale: [..., G, F]`` f32 with
+  ``G = D / group`` (absmax/7 symmetric, levels in [-7, 7]).
+- nibbles are packed *half-split*, not interleaved: byte ``b[p, f]`` holds
+  original row ``p`` in its low nibble and row ``p + D/2`` in its high
+  nibble → ``q4: [..., D/2, F]`` int8. Unpacking is then **zero shuffles**
+  — each nibble plane is a contiguous [D/2, F] tile feeding the MXU.
+- ``D % (2 * group) == 0`` so no group straddles the half boundary.
+
+Sign-extension runs as int32 shift pairs (``(b<<28)>>28`` / ``(b<<24)>>28``)
+— measured fastest of the Mosaic-legal variants on v5e (int8 shifts do not
+legalize; an AND + bf16-arithmetic scheme was ~40% slower end to end).
+
+Kernel schedule: grid over (M tiles, F tiles); each program keeps an f32
+accumulator and statically unrolls the K-groups, doing per group two
+``[BM, group] x [group, BN]`` MXU dots (low plane, high plane). The scale
+is constant across K within a group, so it is applied to the [BM, BN]
+partial product (BM·BN mults) instead of the weight tile (group·BN mults)
+— cheaper whenever BM < group, i.e. always in decode.
+
+Stacked weights: the decode layer loop is a ``lax.fori_loop`` over weights
+stacked on a leading layer axis. Slicing the layer *outside* the kernel
+(``dynamic_index_in_dim`` → ``pallas_call``) materializes a full per-layer
+copy in HBM (~2x traffic, measured 284 vs 502 GB/s); instead the stacked
+array is passed whole and the layer index rides a scalar-prefetch argument
+used by the BlockSpec index_map, so each grid step DMAs its tile straight
+from the stacked array.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_GROUP = 128
+_BN = 256  # output-channel tile (lane-dim multiple of 128)
+
+
+def _resolve_group(D: int, group: int) -> int:
+    while D % (2 * group) != 0:
+        group //= 2
+    assert group >= 1, f"D={D} not even"
+    return group
+
+
+def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP) -> Dict[str, Any]:
+    """numpy host-side quantizer: ``[..., D, F]`` → ``{"q4", "scale"}``.
+
+    ``group`` shrinks automatically for tiny test dims; real LLM dims
+    (4096 / 11008) keep the default 128.
+    """
+    w = np.asarray(w, np.float32)
+    D = w.shape[-2]
+    group = _resolve_group(D, group)
+    G = D // group
+    grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
+    absmax = np.max(np.abs(grouped), axis=-2, keepdims=True)
+    scale = np.where(absmax == 0, 1.0, absmax / 7.0).astype(np.float32)
+    q = np.clip(np.round(grouped / scale), -7, 7).astype(np.int32)
+    q = q.reshape(w.shape)
+    lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
+    packed = ((hi << 4) | (lo & 0xF)).astype(np.int8)
+    return {"q4": packed,
+            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
+
+
+def quantize_weight_int4(w: jax.Array,
+                         group: int = DEFAULT_GROUP) -> Dict[str, Any]:
+    """jnp twin of :func:`quantize_weight_int4_np` (jit/eval_shape-able)."""
+    w = jnp.asarray(w, jnp.float32)
+    D = w.shape[-2]
+    group = _resolve_group(D, group)
+    G = D // group
+    grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int32)
+    q = q.reshape(w.shape)
+    lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
+    packed = (jnp.left_shift(hi, 4) | (lo & 0xF)).astype(jnp.int8)
+    return {"q4": packed,
+            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
+
+
+def _sign_extend_low(b32):
+    return jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(b32, 28), jnp.int32(28))
+
+
+def _sign_extend_high(b32):
+    return jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(b32, 24), jnp.int32(28))
+
+
+def unpack_planes(q4: jax.Array):
+    """int8 ``[..., D/2, F]`` → (lo levels, hi levels) as f32, signed."""
+    b = q4.astype(jnp.int32)
+    return (_sign_extend_low(b).astype(jnp.float32),
+            _sign_extend_high(b).astype(jnp.float32))
+
+
+def dequantize_weight_int4(qw: Dict[str, Any], dtype=jnp.float32) -> jax.Array:
+    """Reference unpack (used by the XLA fallback and tests)."""
+    q4 = jnp.asarray(qw["q4"])
+    scale = jnp.asarray(qw["scale"])
+    G = scale.shape[-2]
+    group = (2 * q4.shape[-2]) // G
+    lo, hi = unpack_planes(q4)
+    w = jnp.concatenate([lo, hi], axis=-2)            # [..., D, F]
+    srep = jnp.repeat(scale, group, axis=-2)          # [..., D, F]
+    return (w * srep).astype(dtype)
+
+
+def _int4_matmul_xla(x2d, qw):
+    q4, scale = qw["q4"], qw["scale"]
+    if "layer" in qw:
+        q4 = jax.lax.dynamic_index_in_dim(q4, qw["layer"], 0, keepdims=False)
+        scale = jax.lax.dynamic_index_in_dim(scale, qw["layer"], 0,
+                                             keepdims=False)
+    w = dequantize_weight_int4({"q4": q4, "scale": scale}, dtype=x2d.dtype)
+    return x2d @ w
+
+
+def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
+            stacked: bool):
+    """One [BM, BN] output tile; K fully resident, statically unrolled."""
+    x = x_ref[:]                                    # [BM, D]
+    d_half = g_half * group
+    acc = None
+    for g in range(g_half):
+        if stacked:
+            b = q4_ref[0, g * group:(g + 1) * group, :].astype(jnp.int32)
+            s_lo = s_ref[0, g, :][None, :]          # [1, BN] f32
+            s_hi = s_ref[0, g_half + g, :][None, :]
+        else:
+            b = q4_ref[g * group:(g + 1) * group, :].astype(jnp.int32)
+            s_lo = s_ref[g, :][None, :]
+            s_hi = s_ref[g_half + g, :][None, :]
+        lo = _sign_extend_low(b).astype(jnp.bfloat16)   # [group, BN]
+        hi = _sign_extend_high(b).astype(jnp.bfloat16)
+        x_lo = x[:, g * group:(g + 1) * group].astype(jnp.bfloat16)
+        x_hi = x[:, d_half + g * group:
+                 d_half + (g + 1) * group].astype(jnp.bfloat16)
+        p_lo = jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
+        p_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+        part = p_lo * s_lo + p_hi * s_hi
+        acc = part if acc is None else acc + part
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, D = x2d.shape
+    D2, F = q4.shape
+    G = scale.shape[0]
+    group = D // G
+    g_half = (D // 2) // group
+    bm = 16 if M <= 16 else 128
+    bn = min(_BN, ((F + 127) // 128) * 128)
+    grid = (pl.cdiv(M, bm), pl.cdiv(F, bn))
+    kernel = functools.partial(_kernel, group=group, g_half=g_half,
+                               stacked=False)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D2, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, F), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * D * F,
+            bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2d, q4, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
+                                interpret: bool = False):
+    """Layer selected via scalar-prefetch index_map — no per-layer copy."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, D = x2d.shape
+    _, D2, F = q4.shape
+    G = scale.shape[1]
+    group = D // G
+    g_half = (D // 2) // group
+    bm = 16 if M <= 16 else 128
+    bn = min(_BN, ((F + 127) // 128) * 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(M, bm), pl.cdiv(F, bn)),
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, D2, bn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, G, bn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+    )
+
+    def kernel(l_ref, x_ref, q4_ref, s_ref, o_ref):
+        _kernel(x_ref, q4_ref, s_ref, o_ref, group=group, g_half=g_half,
+                stacked=True)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, F), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * D * F,
+            bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x2d, q4, scale)
+
+
+def int4_matmul(x, qw: Dict[str, Any], impl: str = "auto") -> jax.Array:
+    """``x [..., D] @ dequant(qw) -> [..., F]``.
+
+    ``qw``: {"q4", "scale"} (single weight) or {"q4", "scale", "layer"}
+    with stacked ``[L, ...]`` tensors and a traced layer index.
+
+    impl: "pallas" (TPU), "xla" (anywhere; materializes the dequantized
+    weight — correctness/tests only), "interpret" (Pallas interpreter on
+    CPU, for kernel-logic parity tests), "auto" (pallas on TPU else xla).
+    """
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    x2d = x.reshape(-1, D)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        out = _int4_matmul_xla(x2d, qw)
+    elif "layer" in qw:
+        out = _int4_matmul_pallas_stacked(x2d, qw["q4"], qw["scale"],
+                                          qw["layer"],
+                                          interpret=(impl == "interpret"))
+    else:
+        out = _int4_matmul_pallas(x2d, jnp.asarray(qw["q4"]),
+                                  jnp.asarray(qw["scale"]),
+                                  interpret=(impl == "interpret"))
+    return out.reshape(*lead, out.shape[-1])

@@ -61,10 +61,23 @@ def _quantize_lm_head(lm_head, quant_fn):
     return quant_fn(lm_head)
 
 
-def quantize_vlm_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """VLM tree with the LLM subtree quantized."""
+def quantize_vlm_params(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
+    """VLM tree with the LLM subtree quantized (jnp; see *_np for host-side)."""
     out = dict(params)
-    out["llm"] = quantize_llm_params(params["llm"])
+    if bits == 4:
+        from emmax_tpu.ops.int4_matmul import quantize_weight_int4
+
+        llm = dict(params["llm"])
+        layers = dict(llm["layers"])
+        for key in QUANT_KEYS:
+            if key in layers and not isinstance(layers[key], dict):
+                layers[key] = quantize_weight_int4(layers[key])
+        llm["layers"] = layers
+        llm["lm_head"] = _quantize_lm_head(llm.get("lm_head"),
+                                           quantize_weight_int4)
+        out["llm"] = llm
+    else:
+        out["llm"] = quantize_llm_params(params["llm"])
     return out
 
 
@@ -80,17 +93,31 @@ def quantize_weight_np(w) -> Dict[str, Any]:
     return {"q8": q, "scale": scale}
 
 
-def quantize_vlm_params_np(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_vlm_params_np(params: Dict[str, Any],
+                           bits: int = 8) -> Dict[str, Any]:
+    """``bits=8``: per-channel int8. ``bits=4``: nibble-packed group-wise
+    int4 (``ops/int4_matmul`` Pallas dequant kernel) — half the weight
+    bytes of int8 again, the last big single-chip decode-bandwidth lever."""
     import numpy as np
+
+    if bits == 4:
+        from emmax_tpu.ops.int4_matmul import quantize_weight_int4_np
+
+        def qfn(w):
+            return quantize_weight_int4_np(np.asarray(w))
+    elif bits == 8:
+        def qfn(w):
+            return quantize_weight_np(np.asarray(w))
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     out = dict(params)
     layers = dict(params["llm"]["layers"])
     for key in QUANT_KEYS:
         if key in layers and not isinstance(layers[key], dict):
-            layers[key] = quantize_weight_np(np.asarray(layers[key]))
+            layers[key] = qfn(layers[key])
     llm = dict(params["llm"])
     llm["layers"] = layers
-    llm["lm_head"] = _quantize_lm_head(
-        llm.get("lm_head"), lambda w: quantize_weight_np(np.asarray(w)))
+    llm["lm_head"] = _quantize_lm_head(llm.get("lm_head"), qfn)
     out["llm"] = llm
     return out
