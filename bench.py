@@ -160,7 +160,86 @@ def main():
                            "decode_tok_s": 1.0 / per_tok_4}
         extras["int4_decode_tok_s"] = round(1.0 / per_tok_4, 1)
         extras["int4_prefill_ms"] = round(results["int4"]["prefill_s"] * 1e3, 1)
-        del engine_q4, q4params
+
+        # --- measured closed-loop serving path: int4 weights + cross-frame
+        # vision cache + speculative decode verified against a TEACHER-FORCED
+        # representative GCOT stream. Every verifier forward still runs (true
+        # HBM cost); acceptance is the real prompt-lookup hit rate on that
+        # text, NOT a zero-weights artifact. Loop pattern mirrors the
+        # reference's closed loop (run_bridgev2_eval.py:149-199): per frame —
+        # slightly-changed camera image, rebuild prompt, decode a full GCOT
+        # chunk, execute ACTIONS_PER_DECODE actions.
+        from emmax_tpu.serving.engine import VisionCache
+        from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+        atok = ActionTokenizer(tok)
+        rng_a = np.random.default_rng(1)
+        base_action = rng_a.uniform(-0.4, 0.4, size=7)
+        # a rollout of similar consecutive actions (steady end-effector
+        # motion discretizes to mostly-repeating bins, as in BridgeV2)
+        rollout = [np.clip(base_action + rng_a.normal(scale=0.02, size=7),
+                           -1, 1) for _ in range(ACTIONS_PER_DECODE + 8)]
+
+        def frame_stream(f):
+            # frame f sees the scene slightly advanced: gripper coords move,
+            # step counts shrink, and the policy window slides by one action
+            text = ("REASONING: the gripper must reach the eggplant before "
+                    "grasping it\nSUBTASK: move the gripper to the eggplant"
+                    f"\nNEXT GRIPPER: [{112 + 2 * f}, {96 + f}]\nMOVEMENT:\n"
+                    f"move forward {21 - f} steps; move left 3 steps; close "
+                    "gripper;\nPOLICIES: ")
+            ids = tok.encode(text)[:DECODE_TOKENS - ACTIONS_PER_DECODE * 7]
+            for a in rollout[f:f + ACTIONS_PER_DECODE]:
+                ids.extend(int(t) for t in atok.encode_to_ids(a))
+            return ids[:DECODE_TOKENS]
+
+        FRAMES = 8
+        vc = VisionCache(capacity=4, threshold=0.02)
+        spec_cl = SpeculativeEngine(cfg, q4params, tok, options=opts,
+                                    draft_k=K, vision_cache=vc)
+        noisy = [{k: v + 0.001 * f for k, v in pixels.items()}
+                 for f in range(FRAMES)]
+        streams = [frame_stream(f) for f in range(FRAMES)]
+
+        def episode():
+            """Closed loop: frame f drafts from frame f-1's output
+            (cross-frame speculation) and reuses cached vision on a hit."""
+            prev = None
+            steps, frame_times = [], []
+            for f in range(FRAMES):
+                t0 = time.perf_counter()
+                out = spec_cl.generate_ids([prompt], noisy[f],
+                                           max_new_tokens=DECODE_TOKENS,
+                                           forced_tokens=streams[f],
+                                           draft_context=prev)
+                jax.block_until_ready(out)
+                frame_times.append(time.perf_counter() - t0)
+                prev = out[0]
+                steps.append(spec_cl.last_steps)
+            return frame_times, steps
+
+        episode()  # warmup/compile
+        best_ts, all_steps = None, None
+        for rep in range(2):
+            ts, all_steps = episode()
+            if best_ts is None or sum(ts) < sum(best_ts):
+                best_ts = ts
+        # episode average includes the cold (contextless) first frame;
+        # steady state = median warm frame
+        t_frame = sum(best_ts) / FRAMES
+        t_warm = float(np.median(best_ts[1:]))
+        results["int4_spec_closedloop"] = {
+            "total_s": t_frame, "decode_tok_s": DECODE_TOKENS / t_frame}
+        extras["closedloop_frame_ms"] = round(t_frame * 1e3, 1)
+        extras["closedloop_warm_frame_ms"] = round(t_warm * 1e3, 1)
+        extras["closedloop_warm_hz"] = round(ACTIONS_PER_DECODE / t_warm, 2)
+        extras["closedloop_gcot_tok_s"] = round(DECODE_TOKENS / t_frame, 1)
+        extras["closedloop_steps_per_frame"] = all_steps
+        extras["closedloop_accept_per_step"] = round(
+            DECODE_TOKENS * len(all_steps) / max(sum(all_steps), 1), 2)
+        extras["vision_cache_hits"] = vc.hits
+        extras["vision_cache_misses"] = vc.misses
+        del engine_q4, q4params, spec_cl
     except Exception as e:  # pragma: no cover
         extras["int4_error"] = str(e)[:120]
 

@@ -71,6 +71,66 @@ def _select_token(logits_f32, key, temperature: float, top_p: float):
     return jax.random.categorical(key, logits, axis=-1)
 
 
+def resolve_patches(params, cfg, vision_input, attn_impl):
+    """``vision_input`` is either a tower→pixels dict (encode now) or
+    ``{"patches": [B, P, D]}`` — pre-projected patch embeddings, e.g. from
+    the cross-frame vision cache (consecutive closed-loop frames share most
+    content, so the two ViT towers + projector can be skipped on a hit;
+    reference re-encodes every frame, ``prismatic.py:646-652``)."""
+    if "patches" in vision_input:
+        return vision_input["patches"]
+    return encode_images(params, cfg, vision_input, attn_impl=attn_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def encode_frame(params, cfg: VLMConfig, pixel_values, *,
+                 attn_impl: str = "xla"):
+    """Jitted vision towers + projector: pixels -> patch embeds [B, P, D]."""
+    return encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+
+
+class VisionCache:
+    """Host-side cross-frame patch-embedding cache (batch-1 closed loop).
+
+    Keyed on a downsampled mean-pooled fingerprint of the raw pixels; a
+    lookup hits when the mean absolute difference against a cached frame is
+    below ``threshold`` (normalized-pixel units). ``threshold=0`` means
+    exact-frame reuse only.
+    """
+
+    def __init__(self, capacity: int = 4, threshold: float = 0.0,
+                 pool: int = 16) -> None:
+        self.capacity = capacity
+        self.threshold = threshold
+        self.pool = pool
+        self.entries = []  # (fingerprint, patches) newest last
+        self.hits = 0
+        self.misses = 0
+
+    def fingerprint(self, pixel_values) -> np.ndarray:
+        fps = []
+        for name in sorted(pixel_values):
+            img = np.asarray(pixel_values[name], np.float32)  # [1, H, W, 3]
+            h, w = img.shape[1] // self.pool, img.shape[2] // self.pool
+            img = img[:, : h * self.pool, : w * self.pool]
+            img = img.reshape(1, h, self.pool, w, self.pool, -1)
+            fps.append(img.mean(axis=(2, 4)).ravel())
+        return np.concatenate(fps)
+
+    def lookup(self, fp: np.ndarray):
+        for cached_fp, patches in reversed(self.entries):
+            if np.mean(np.abs(cached_fp - fp)) <= self.threshold:
+                self.hits += 1
+                return patches
+        self.misses += 1
+        return None
+
+    def store(self, fp: np.ndarray, patches) -> None:
+        self.entries.append((fp, patches))
+        if len(self.entries) > self.capacity:
+            self.entries.pop(0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new", "cache_len", "eos_id",
                                    "attn_impl", "temperature", "top_p",
                                    "quantized_cache"),
@@ -83,14 +143,15 @@ def _generate_multimodal(params, cfg: VLMConfig, input_ids, mask,
     """input_ids/mask [B, L] (left-padded) -> tokens [B, max_new] (eos-padded).
 
     Prefill writes the fused sequence into a fresh cache; the decode loop
-    runs entirely on-device.
+    runs entirely on-device. ``pixel_values`` may be ``{"patches": ...}``
+    (see ``resolve_patches``).
     """
     B, L = input_ids.shape
     compute_dtype = params["llm"]["embed"].dtype  # robust under quantization
     cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype,
                           quantized=quantized_cache)
 
-    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
                                                   mask, None)
@@ -135,7 +196,7 @@ def _prefill_last_logits(params, cfg: VLMConfig, input_ids, mask,
     B, L = input_ids.shape
     compute_dtype = params["llm"]["embed"].dtype
     cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype)
-    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
                                                   mask, None)
@@ -151,7 +212,8 @@ class ServingEngine:
     def __init__(self, cfg: VLMConfig, params, tokenizer,
                  options: Optional[GenerateOptions] = None,
                  attn_impl: str = "auto", buckets=DEFAULT_BUCKETS,
-                 quantized_cache: bool = False) -> None:
+                 quantized_cache: bool = False,
+                 vision_cache: Optional[VisionCache] = None) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -159,6 +221,24 @@ class ServingEngine:
         self.attn_impl = attn_impl
         self.buckets = buckets
         self.quantized_cache = quantized_cache
+        self.vision_cache = vision_cache
+
+    def _vision_input(self, pixel_values):
+        """Cross-frame patch reuse (batch-1 only; see VisionCache)."""
+        if "patches" in pixel_values:
+            return pixel_values
+        if self.vision_cache is None:
+            return pixel_values
+        lead = next(iter(pixel_values.values())).shape[0]
+        if lead != 1:
+            return pixel_values
+        fp = self.vision_cache.fingerprint(pixel_values)
+        patches = self.vision_cache.lookup(fp)
+        if patches is None:
+            patches = encode_frame(self.params, self.cfg, pixel_values,
+                                   attn_impl=self.attn_impl)
+            self.vision_cache.store(fp, patches)
+        return {"patches": patches}
 
     def _prepare(self, prompts, suffix_ids=()) -> Tuple[jax.Array, jax.Array]:
         enc = [self.tokenizer.encode(p) + list(suffix_ids) for p in prompts]
@@ -182,7 +262,8 @@ class ServingEngine:
         self._step = getattr(self, "_step", 0) + 1
         key = jax.random.PRNGKey(self.options.seed + self._step)
         out = _generate_multimodal(
-            self.params, self.cfg, ids, mask, pixel_values, key,
+            self.params, self.cfg, ids, mask, self._vision_input(pixel_values),
+            key,
             max_new=max_new, cache_len=cache_len,
             eos_id=self.options.eos_id, attn_impl=self.attn_impl,
             temperature=self.options.temperature, top_p=self.options.top_p,
@@ -197,7 +278,8 @@ class ServingEngine:
         ids, mask = self._prepare(prompts)
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + 8)
         logits = _prefill_last_logits(self.params, self.cfg, ids, mask,
-                                      pixel_values, cache_len=cache_len,
+                                      self._vision_input(pixel_values),
+                                      cache_len=cache_len,
                                       attn_impl=self.attn_impl)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         sel = probs[:, np.asarray(candidate_ids)]

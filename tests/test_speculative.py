@@ -187,3 +187,71 @@ def test_speculative_phi_quantized_cache():
                                 max_new_tokens=12)
     got = spec_q.generate_ids(["In: q phi\nOut:"], pixels, max_new_tokens=12)
     np.testing.assert_array_equal(got, want)
+
+
+def test_forced_tokens_stream_reproduced_and_acceptance_counted(setup):
+    """Teacher-forced verifier stream: output equals the stream, and a
+    repetitive stream needs fewer verifier forwards than tokens (real
+    prompt-lookup acceptance, independent of the loaded weights)."""
+    cfg, params, tok = setup
+    pixels = _pixels(cfg, np.random.default_rng(7), 1)
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            draft_k=4)
+    base = tok.encode("NEXT MOVEMENT: move left; NEXT MOVEMENT: move left; "
+                      "NEXT MOVEMENT: move left; NEXT MOVEMENT: move left;")
+    n = 24
+    out = eng.generate_ids(["In: go\nOut:"], pixels,
+                           max_new_tokens=n, forced_tokens=base)
+    np.testing.assert_array_equal(out[0][:n], np.asarray(base[:n]))
+    assert eng.last_steps < n  # repetition => multi-token steps
+
+
+def test_vision_cache_hit_reuses_patches(setup):
+    from emmax_tpu.serving.engine import VisionCache
+
+    cfg, params, tok = setup
+    pixels = _pixels(cfg, np.random.default_rng(8), 1)
+    plain = ServingEngine(cfg, params, tok,
+                          options=GenerateOptions(eos_id=tok.eos_id))
+    ref = plain.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=8)
+
+    vc = VisionCache(threshold=0.0)
+    eng = ServingEngine(cfg, params, tok,
+                        options=GenerateOptions(eos_id=tok.eos_id),
+                        vision_cache=vc)
+    out1 = eng.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=8)
+    out2 = eng.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=8)
+    np.testing.assert_array_equal(out1, ref)
+    np.testing.assert_array_equal(out2, ref)
+    assert vc.misses == 1 and vc.hits == 1
+
+    # a different frame must miss (exact threshold)
+    other = {k: v + 0.5 for k, v in pixels.items()}
+    eng.generate_ids(["In: go\nOut:"], other, max_new_tokens=8)
+    assert vc.misses == 2
+
+
+def test_draft_context_cross_frame_acceptance(setup):
+    """Seeding the previous frame's output as draft context: output is still
+    exact, and when the forced stream matches the context, steps collapse
+    (long accepts) vs no context."""
+    cfg, params, tok = setup
+    pixels = _pixels(cfg, np.random.default_rng(9), 1)
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            draft_k=4)
+    stream = tok.encode("REASONING: reach the cup\nSUBTASK: approach\n"
+                        "NEXT GRIPPER: [104, 98]\nMOVEMENT: xq zj rk vv")
+    n = 32
+    out_cold = eng.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=n,
+                                forced_tokens=stream)
+    steps_cold = eng.last_steps
+    out_warm = eng.generate_ids(["In: go\nOut:"], pixels, max_new_tokens=n,
+                                forced_tokens=stream,
+                                draft_context=out_cold[0])
+    steps_warm = eng.last_steps
+    np.testing.assert_array_equal(out_warm, out_cold)
+    # identical previous output => near-full acceptance
+    assert steps_warm < steps_cold
+    assert steps_warm <= (n + 4) // 5 + 2
