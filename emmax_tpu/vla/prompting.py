@@ -34,6 +34,13 @@ class PromptStyle:
     system_merge: Optional[Callable[[str, Callable[[str], str], str], str]] = None
     bos: str = "<s>"
     eos: str = "</s>"
+    # phi places a newline before EOS (phi_prompter.py:26) and prepends BOS
+    # to the very first human turn (phi_prompter.py:36-38)
+    gpt_suffix: str = ""
+    prepend_bos: bool = False
+    # phi keeps the BOS in get_prompt (its tokenizer does not auto-insert
+    # one, phi_prompter.py:64-65); llama-family styles strip it
+    strip_bos: bool = True
 
 
 def _llama2_sys_merge(system: str, wrap: Callable[[str], str], msg: str) -> str:
@@ -53,7 +60,8 @@ STYLES: Dict[str, PromptStyle] = {
         "vicuna-v15", wrap_human=lambda m: f"USER: {m} ASSISTANT: ",
         default_system=_VICUNA_SYS, system_merge=_vicuna_sys_merge),
     "phi": PromptStyle("phi", wrap_human=lambda m: f"Input: {m}\nOutput: ",
-                       eos="<|endoftext|>"),
+                       bos="<|endoftext|>", eos="<|endoftext|>",
+                       gpt_suffix="\n", prepend_bos=True, strip_bos=False),
     "mistral-instruct": PromptStyle(
         "mistral-instruct", wrap_human=lambda m: f"[INST] {m} [/INST] "),
 }
@@ -78,7 +86,7 @@ class PromptBuilder:
         self.turn_count = 0
 
     def _wrap_gpt(self, msg: str) -> str:
-        return f"{msg if msg != '' else ' '}{self.style.eos}"
+        return f"{msg if msg != '' else ' '}{self.style.gpt_suffix}{self.style.eos}"
 
     def add_turn(self, role: str, message: str) -> str:
         assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
@@ -87,6 +95,8 @@ class PromptBuilder:
             if self.turn_count == 0 and self.system_prompt and self.style.system_merge:
                 wrapped = self.style.system_merge(
                     self.system_prompt, self.style.wrap_human, message)
+            elif self.turn_count == 0 and self.style.prepend_bos:
+                wrapped = f"{self.style.bos}{self.style.wrap_human(message)}"
             else:
                 wrapped = self.style.wrap_human(message)
         else:
@@ -104,7 +114,9 @@ class PromptBuilder:
             self.prompt, self.turn_count = saved_prompt, saved_count
 
     def get_prompt(self) -> str:
-        return self.prompt.removeprefix(self.style.bos).rstrip()
+        if self.style.strip_bos:
+            return self.prompt.removeprefix(self.style.bos).rstrip()
+        return self.prompt.rstrip()
 
 
 def get_prompt_builder(llm_family: str) -> PromptBuilder:

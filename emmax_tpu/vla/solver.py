@@ -142,7 +142,12 @@ class Solver:
                     policy_text, add_special_tokens=False)
                 vals = self.action_tokenizer.decode_token_ids_to_actions(
                     np.array(ids))[1:][:7]  # drop word-boundary piece, take 7
-                out.append(vals.tolist() if len(vals) == 7 else [0.0] * 7)
+                if len(vals) != 7:
+                    # reference-exact: a malformed chunk aborts the WHOLE
+                    # parse (its `[0]*7` list hits `.tolist()` →
+                    # AttributeError → except clause, solver.py:128-136)
+                    raise ValueError("malformed policy chunk")
+                out.append(vals.tolist())
             return out, remain
         except Exception:
             return [[0.0] * 7], text
