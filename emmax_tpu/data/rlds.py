@@ -5,9 +5,10 @@ TPU-host counterpart of the reference RLDS stack
 config/transform registries). The reference depends on ``tensorflow_datasets``
 + ``dlimp``; neither is in this image, so episodes are read from a simple
 self-describing TFRecord layout ("emmaX-rlds": one ``tf.train.Example`` per
-episode — see ``write_episodes``/``EPISODE_SPEC``) that a one-time conversion
-script produces from any RLDS/TFDS source. All pipeline *semantics* mirror
-the reference:
+episode — see ``write_episodes``/``EPISODE_SPEC``) that
+``scripts/convert_rlds.py`` produces from any RLDS/TFDS source (run it once
+wherever TFDS is installed, e.g. for the 124 GB ``bridge_orig``). All
+pipeline *semantics* mirror the reference:
 
 - ``standardize`` per-dataset transforms (``oxe/transforms.py`` — bridge_orig
   implemented: drop all-zero first step, binarize gripper, relabel actions,
