@@ -50,8 +50,13 @@ class EmmaXProcessor:
                                       gripper_position=gripper_position)
         return prompt, image
 
-    def __call__(self, prompt: str, image) -> dict:
-        return {"prompt": prompt, "image": _as_uint8_array(image)}
+    def __call__(self, prompt: str, image,
+                 task_label: Optional[str] = None) -> dict:
+        from emmax_tpu.extern.hf_processor import extract_instruction
+
+        return {"prompt": prompt, "image": _as_uint8_array(image),
+                "task": (task_label if task_label is not None
+                         else extract_instruction(prompt))}
 
 
 class EmmaXForVision2Seq:
@@ -83,8 +88,13 @@ class EmmaXForVision2Seq:
     def predict_action(self, inputs: dict, unnorm_key: Optional[str] = None,
                        do_sample: bool = False) -> np.ndarray:
         assert not do_sample
-        # inputs carry the already-built prompt; extract the task for the
-        # OpenVLA-style path
-        return self._vla.predict_action(inputs["image"],
-                                        inputs.get("task", ""),
+        # the processor sets inputs["task"]; if absent (hand-built inputs),
+        # recover the instruction from the prompt instead of silently
+        # predicting with an empty task (round-1 plumbing hole)
+        task = inputs.get("task")
+        if not task:
+            from emmax_tpu.extern.hf_processor import extract_instruction
+
+            task = extract_instruction(inputs.get("prompt", ""))
+        return self._vla.predict_action(inputs["image"], task,
                                         unnorm_key=unnorm_key)

@@ -63,6 +63,11 @@ def _model_cfg_from_json(blob: dict):
 
 def build_vlm(vision_backbone_id: str, llm_backbone_id: str,
               arch_specifier: str) -> Tuple[VLMConfig, str]:
+    if vision_backbone_id == "tiny" or llm_backbone_id == "tiny":
+        # smoke-test scale (train.py --smoke_test / convert --base_vlm tiny)
+        from emmax_tpu.models.vlm import tiny_vlm_config
+
+        return tiny_vlm_config(), "llama2"
     vision = get_vision_config(vision_backbone_id)
     llm, family = get_llm_config(llm_backbone_id)
     return VLMConfig(vision=vision, llm=llm,
@@ -151,6 +156,11 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
         blob = json.loads((path / "config.json").read_text())
         vid, lid, arch, resize = _model_cfg_from_json(blob)
         cfg, family = build_vlm(vid, lid, arch)
+        tc_vocab = blob.get("text_config", {}).get("vocab_size")
+        if vid == "tiny" and tc_vocab and tc_vocab != cfg.llm.vocab_size:
+            from emmax_tpu.models.vlm import tiny_vlm_config
+
+            cfg = tiny_vlm_config(vocab_size=tc_vocab)
         ckpt = _latest_checkpoint(path)
         if ckpt is not None:
             template = jax.eval_shape(
@@ -158,11 +168,29 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
             params = _load_orbax(ckpt, template)
         elif (pt := sorted(path.glob("checkpoints/*.pt"))):
             params = _cast_tree(convert_prismatic_pt(pt[-1], cfg), dtype)
+        elif (st := sorted(path.glob("*.safetensors"))):
+            # an HF export dir (convert_weights --mode export_hf) loads
+            # directly — the published OpenVLA flat naming
+            from safetensors.torch import load_file
+
+            from emmax_tpu.models.convert import convert_hf_openvla_sd
+
+            sd = {}
+            for shard in st:
+                sd.update(load_file(shard))
+            params = _cast_tree(convert_hf_openvla_sd(sd, cfg), dtype)
         elif init_if_missing:
             params = init_vlm_params(jax.random.PRNGKey(0), cfg, dtype)
         else:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        transforms = get_image_transforms(vid, resize)
+        if vid == "tiny":
+            from emmax_tpu.ops.image import ImageTransformConfig
+
+            transforms = {n: ImageTransformConfig(size=v.img_size,
+                                                  resize_strategy=resize)
+                          for n, v in cfg.vision}
+        else:
+            transforms = get_image_transforms(vid, resize)
     else:
         from emmax_tpu.conf import ModelConfig
 
@@ -199,6 +227,15 @@ def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
         init_if_missing=init_if_missing, quantize_int8=quantize_int8)
     norm_stats, proprio_stats = {}, None
     p = Path(str(path))
+    if p.is_dir() and (p / "config.json").exists():
+        # HF export dirs embed the statistics in config.json (reference
+        # OpenVLAConfig.norm_stats, configuration_prismatic.py:129-138)
+        cfg_blob = json.loads((p / "config.json").read_text())
+        if isinstance(cfg_blob.get("norm_stats"), dict):
+            norm_stats = cfg_blob["norm_stats"]
+            for entry in norm_stats.values():
+                if isinstance(entry, dict) and "Q1" in entry:
+                    proprio_stats = entry
     stats_file = p / "dataset_statistics.json" if p.is_dir() else None
     if stats_file and stats_file.exists():
         blob = json.loads(stats_file.read_text())

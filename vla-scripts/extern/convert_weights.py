@@ -136,20 +136,92 @@ def export_hf(cfg: ConvertConfig) -> None:
     out = Path(cfg.dst)
     out.mkdir(parents=True, exist_ok=True)
     save_file(sd, out / "model.safetensors")
-    blob = {"model_type": "openvla",
-            "vision_backbone_id": mc.vision_backbone_id,
-            "llm_backbone_id": mc.llm_backbone_id,
-            "arch_specifier": mc.arch_specifier,
-            "image_resize_strategy": mc.image_resize_strategy,
-            "torch_dtype": cfg.export_dtype,
-            "text_config": {"vocab_size": vlm_cfg.llm.vocab_size,
-                            "pad_token_id": 32000}}
+
+    # transformers-compatible config (EmmaXVLAConfig ≈ OpenVLAConfig,
+    # configuration_prismatic.py:129-138) + serializable processor +
+    # remote-code stubs — the full Hub export surface
+    from emmax_tpu.extern.hf_config import EmmaXVLAConfig
+    from emmax_tpu.extern.hf_processor import (EmmaXImageProcessor,
+                                               EmmaXProcessor)
+    from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
+
+    norm_stats = None
     if cfg.dataset_statistics:
-        blob["norm_stats"] = json.loads(
-            Path(cfg.dataset_statistics).read_text())
-    (out / "config.json").write_text(json.dumps(blob, indent=2))
+        norm_stats = json.loads(Path(cfg.dataset_statistics).read_text())
+    auto_map = {
+        "AutoConfig": "configuration_emmax.EmmaXVLAConfig",
+        "AutoModelForVision2Seq": "modeling_emmax.EmmaXForVision2Seq",
+        "AutoProcessor": "processing_emmax.EmmaXProcessor",
+    }
+    try:
+        hf_cfg = EmmaXVLAConfig(
+            vision_backbone_id=mc.vision_backbone_id,
+            llm_backbone_id=mc.llm_backbone_id,
+            arch_specifier=mc.arch_specifier,
+            image_resize_strategy=mc.image_resize_strategy,
+            text_config={"vocab_size": vlm_cfg.llm.vocab_size,
+                         "pad_token_id": 32000},
+            norm_stats=norm_stats,
+            torch_dtype=cfg.export_dtype,
+            auto_map=auto_map)
+        hf_cfg.save_pretrained(out)
+    except ValueError:
+        # non-registered backbone (e.g. --base_vlm tiny smoke exports):
+        # fall back to the minimal flat blob load() accepts
+        blob = {"model_type": "emmax-openvla",
+                "vision_backbone_id": mc.vision_backbone_id,
+                "llm_backbone_id": mc.llm_backbone_id,
+                "arch_specifier": mc.arch_specifier,
+                "image_resize_strategy": mc.image_resize_strategy,
+                "torch_dtype": cfg.export_dtype,
+                "auto_map": auto_map,
+                "text_config": {"vocab_size": vlm_cfg.llm.vocab_size,
+                                "pad_token_id": 32000}}
+        if norm_stats is not None:
+            blob["norm_stats"] = norm_stats
+        (out / "config.json").write_text(json.dumps(blob, indent=2))
+    try:
+        img_proc = EmmaXImageProcessor.for_backbone(
+            mc.vision_backbone_id, mc.image_resize_strategy)
+    except ValueError:  # tiny/unregistered towers: derive from the VLM cfg
+        img_proc = EmmaXImageProcessor(
+            tower_names=[n for n, _ in vlm_cfg.vision],
+            input_sizes=[v.img_size for _, v in vlm_cfg.vision],
+            image_resize_strategy=mc.image_resize_strategy)
+    processor = EmmaXProcessor(img_proc, ByteLevelTokenizer())
+    processor.save_pretrained(out)
+    _write_remote_code_stubs(out)
     overwatch.info(f"exported {cfg.src} -> {out} "
                    f"({len(sd)} tensors, {cfg.export_dtype})")
+
+
+_STUB_TEMPLATE = '''\
+"""Remote-code stub for the `{auto}` entry of this export.
+
+The TPU-native implementation lives in the `emmax_tpu` package; this stub
+re-exports the published class so `trust_remote_code` consumers resolve the
+`auto_map` entry. Install/vendor `emmax_tpu` alongside this checkpoint.
+"""
+
+from {module} import {name}  # noqa: F401
+'''
+
+
+def _write_remote_code_stubs(out: Path) -> None:
+    """Hub-style remote-code files matching the config's ``auto_map``."""
+    stubs = {
+        "configuration_emmax.py": ("AutoConfig", "emmax_tpu.extern.hf_config",
+                                   "EmmaXVLAConfig"),
+        "modeling_emmax.py": ("AutoModelForVision2Seq",
+                              "emmax_tpu.extern.hf_facade",
+                              "EmmaXForVision2Seq"),
+        "processing_emmax.py": ("AutoProcessor",
+                                "emmax_tpu.extern.hf_processor",
+                                "EmmaXProcessor"),
+    }
+    for fname, (auto, module, name) in stubs.items():
+        (out / fname).write_text(
+            _STUB_TEMPLATE.format(auto=auto, module=module, name=name))
 
 
 def import_hf(cfg: ConvertConfig) -> None:
