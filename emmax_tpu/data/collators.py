@@ -65,7 +65,12 @@ def collate_lm(samples: Sequence[Dict], pad_id: int,
                default_image_shape=(224, 224, 3), max_length: int = 2048,
                pad_multiple: int = 64) -> Dict:
     """Mixed multimodal/text-only batches: rows without an image get dummy
-    pixels and are excluded from ``multimodal_indices``."""
+    pixels (matching the batch's real image shape, so stacking is uniform)
+    and are excluded from ``multimodal_indices``."""
+    for s in samples:
+        if s.get("image") is not None:
+            default_image_shape = s["image"].shape
+            break
     base = collate_train(
         [{**s, "image": s.get("image") if s.get("image") is not None
           else np.zeros(default_image_shape, np.uint8)} for s in samples],
@@ -73,7 +78,51 @@ def collate_lm(samples: Sequence[Dict], pad_id: int,
     base["multimodal_indices"] = np.asarray(
         [i for i, s in enumerate(samples) if s.get("image") is not None],
         np.int64)
+    # static-shape twin of multimodal_indices for the jitted step (text-only
+    # rows take the unimodal merge inside fuse_multimodal)
+    base["multimodal_mask"] = np.asarray(
+        [s.get("image") is not None for s in samples], bool)
     return base
+
+
+class SplitModalityLoader:
+    """Batch iterator with LLaVa-faithful split-modality batching
+    (``util/batching.py:split_modality_batches`` ≈ reference
+    ``SplitModalitySampler``, ``batching_utils.py:23-210``): batches are
+    modality-pure where possible and length-sorted within each bucket; a
+    trailing mixed bucket can carry both, which ``collate_lm`` handles via
+    ``multimodal_mask``. The VLM-stage ``run_training`` wires this in
+    (reference ``base_strategy.py:157-292``)."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn=None, *,
+                 seed: int = 7, num_shards: int = 1,
+                 shard_index: int = 0) -> None:
+        from emmax_tpu.util.batching import split_modality_batches
+
+        self._split = split_modality_batches
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate_fn
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        mods = dataset.modality_lengths()
+        self.is_multimodal = [m for m, _ in mods]
+        self.lengths = [l for _, l in mods]
+
+    def epoch(self, epoch: int = 0):
+        batches = self._split(self.lengths, self.is_multimodal,
+                              self.batch_size, seed=self.seed, epoch=epoch,
+                              num_shards=self.num_shards,
+                              shard_index=self.shard_index)
+        for idxs in batches:
+            yield self.collate([self.dataset[int(j)] for j in idxs])
+
+    def __len__(self) -> int:
+        return len(self._split(self.lengths, self.is_multimodal,
+                               self.batch_size, seed=self.seed, epoch=0,
+                               num_shards=self.num_shards,
+                               shard_index=self.shard_index))
 
 
 class BatchLoader:

@@ -48,6 +48,15 @@ class AlignDataset:
     def __len__(self) -> int:
         return len(self.examples)
 
+    def modality_lengths(self):
+        """[(is_multimodal, approx_length)] without touching images —
+        feeds the split-modality sampler (reference
+        ``datasets.py get_modality_lengths`` / ``batching_utils.py:23``)."""
+        return [(ex.get("image") is not None,
+                 sum(len(turn["value"].split())
+                     for turn in ex["conversations"]))
+                for ex in self.examples]
+
     def __getitem__(self, idx: int) -> Dict:
         ex = self.examples[idx]
         caption = ex["conversations"][-1]["value"].replace("<image>", "").strip()
@@ -75,6 +84,15 @@ class FinetuneDataset:
 
     def __len__(self) -> int:
         return len(self.examples)
+
+    def modality_lengths(self):
+        """[(is_multimodal, approx_length)] without touching images —
+        feeds the split-modality sampler (reference
+        ``datasets.py get_modality_lengths`` / ``batching_utils.py:23``)."""
+        return [(ex.get("image") is not None,
+                 sum(len(turn["value"].split())
+                     for turn in ex["conversations"]))
+                for ex in self.examples]
 
     def __getitem__(self, idx: int) -> Dict:
         ex = self.examples[idx]
@@ -130,8 +148,11 @@ class ValDataset:
 
 
 def make_synthetic_chat_json(path, n: int, with_images: bool = True,
-                             image_dir: Optional[Path] = None) -> None:
-    """Synthetic LLaVa-format data for tests/smoke runs."""
+                             image_dir: Optional[Path] = None,
+                             text_only_every: int = 0) -> None:
+    """Synthetic LLaVa-format data for tests/smoke runs.
+    ``text_only_every=k``: every k-th example has no image (mixed-modality
+    pretraining corpora, reference ``data_utils.py:55-83``)."""
     import cv2
 
     examples = []
@@ -141,7 +162,8 @@ def make_synthetic_chat_json(path, n: int, with_images: bool = True,
             {"from": "human", "value": f"<image>\nWhat is in image {i}?"},
             {"from": "gpt", "value": f"A synthetic object number {i}."},
         ]}
-        if with_images and image_dir is not None:
+        text_only = text_only_every and i % text_only_every == 0
+        if with_images and image_dir is not None and not text_only:
             rel = f"img_{i}.jpg"
             img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
             Path(image_dir).mkdir(parents=True, exist_ok=True)

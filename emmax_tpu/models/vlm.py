@@ -93,7 +93,8 @@ def encode_images(params: Params, cfg: VLMConfig,
 
 
 def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
-                    mask: jax.Array, labels: Optional[jax.Array] = None):
+                    mask: jax.Array, labels: Optional[jax.Array] = None,
+                    multimodal_mask: Optional[jax.Array] = None):
     """Splice patches after each row's BOS: [pads... | bos | patches | text].
 
     Generalizes the reference splice (``prismatic.py:392-424``, which assumes
@@ -101,6 +102,11 @@ def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
     sits at index ``p``, the fused row is text[:p+1] | patches | text[p+1:].
     With no padding this is byte-identical to the reference layout. Patch
     slots are always valid and labeled IGNORE.
+
+    ``multimodal_mask`` ([B] bool) marks rows WITH an image; text-only rows
+    take the reference's unimodal merge instead (``prismatic.py:442-471``):
+    [text | zeros(P)] with mask False / labels IGNORE over the zero block —
+    same static fused length, so mixed batches stay one XLA program.
 
     Returns (embeds, mask, labels, positions).
     """
@@ -111,15 +117,24 @@ def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
     p = jnp.argmax(mask, axis=-1).astype(jnp.int32)          # [B]
     j = jnp.arange(F, dtype=jnp.int32)[None, :]              # [1, F]
     pe = p[:, None]
-    is_patch = (j > pe) & (j <= pe + P)
+    if multimodal_mask is None:
+        mm = jnp.ones((B, 1), jnp.bool_)
+    else:
+        mm = multimodal_mask.reshape(B, 1).astype(jnp.bool_)
+    # multimodal rows: patches spliced after BOS; unimodal rows: zero block
+    # appended at the end (reference unimodal merge layout)
+    is_patch = jnp.where(mm, (j > pe) & (j <= pe + P), j >= L)
     # source index into concat([text (L), patches (P)]):
-    src_text = jnp.where(j <= pe, j, j - P)                  # before/after splice
-    src = jnp.where(is_patch, L + (j - pe - 1), src_text)
+    src_text = jnp.where(mm & (j > pe), j - P, j)            # before/after splice
+    src = jnp.where(is_patch, L + jnp.clip(j - pe - 1, 0, P - 1), src_text)
     source = jnp.concatenate(
         [input_embeds, patch_embeds.astype(input_embeds.dtype)], axis=1)
-    embeds = jnp.take_along_axis(source, src[..., None], axis=1)
+    embeds = jnp.take_along_axis(source, jnp.clip(src, 0, F - 1)[..., None],
+                                 axis=1)
+    embeds = jnp.where((is_patch & ~mm)[..., None],
+                       jnp.zeros((), embeds.dtype), embeds)
     fused_mask = jnp.where(
-        is_patch, True,
+        is_patch, mm,
         jnp.take_along_axis(mask, jnp.clip(src_text, 0, L - 1), axis=1))
     fused_labels = None
     if labels is not None:
@@ -142,10 +157,13 @@ def vlm_forward(
     attn_impl: str = "xla",
     remat: bool = False,
     stop_vision_gradient: bool = False,
+    multimodal_mask: Optional[jax.Array] = None,  # [B] bool; None = all mm
 ):
     """Multimodal forward. Returns (logits, loss_or_None, new_cache_or_None).
 
     The returned logits cover the fused sequence [bos | patches | text[1:]].
+    Text-only rows of a mixed batch (``multimodal_mask`` False) take the
+    reference's unimodal merge (see ``fuse_multimodal``).
     """
     if mask is None:
         mask = jnp.ones(input_ids.shape, jnp.bool_)
@@ -154,7 +172,8 @@ def vlm_forward(
         patch_embeds = jax.lax.stop_gradient(patch_embeds)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, flabels, positions = fuse_multimodal(
-        patch_embeds, input_embeds, mask, labels)
+        patch_embeds, input_embeds, mask, labels,
+        multimodal_mask=multimodal_mask)
     logits, new_cache = llm_apply(
         params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
         kv_cache=kv_cache, attn_impl=attn_impl, remat=remat)

@@ -117,6 +117,7 @@ def run_discrete_vla_training(
             device_batch = {k: v for k, v in batch.items()
                             if isinstance(v, np.ndarray) or hasattr(v, "shape")
                             or isinstance(v, dict)}
+            device_batch.pop("multimodal_indices", None)  # host-side only
             if mesh is not None:
                 # no-op for batches already placed by a prefetching loader
                 device_batch = shard_batch(device_batch, mesh)
@@ -205,10 +206,114 @@ def run_validation(*, vlm_cfg: VLMConfig, params, eval_fn, loader,
     return summary
 
 
-# Name-parity aliases: the reference exposes three loops
-# (base_strategy.py:157-292, 296-486, 490-662). The VLM and RLDS loops share
-# this body — grad accumulation lives inside the train step, per-dataset
-# metrics inside the metrics container, and streaming loaders expose the
-# same ``epoch()`` interface.
-run_training = run_discrete_vla_training
-run_vla_training = run_discrete_vla_training
+def run_training(*, vlm_cfg: VLMConfig, state, train_step: Callable,
+                 loader, metrics, loop_cfg: LoopConfig, mesh=None,
+                 ckpt_manager=None, lr_fn=None, start_step: int = 0,
+                 start_epoch: int = 0):
+    """VLM align/finetune stage loop (reference ``run_training``,
+    ``base_strategy.py:157-292``): split-modality batches with mixed
+    text-only/multimodal rows. ``loader`` should be a
+    ``SplitModalityLoader`` whose ``collate_lm`` batches carry
+    ``multimodal_mask``; text-only rows take the unimodal merge inside the
+    jitted step (``fuse_multimodal``). Grad accumulation lives inside the
+    train step; no Solver eval in this stage."""
+    mm_seen = text_seen = 0
+    step = start_step
+    final_loss = float("nan")
+    for epoch in range(start_epoch, loop_cfg.epochs):
+        for batch in loader.epoch(epoch):
+            if "multimodal_mask" in batch:
+                mm = np.asarray(batch["multimodal_mask"])
+                mm_seen += int(mm.sum())
+                text_seen += int((~mm).sum())
+            device_batch = {k: v for k, v in batch.items()
+                            if isinstance(v, np.ndarray) or hasattr(v, "shape")
+                            or isinstance(v, dict)}
+            device_batch.pop("multimodal_indices", None)  # host-side only
+            if mesh is not None:
+                device_batch = shard_batch(device_batch, mesh)
+            state, m = train_step(state, device_batch)
+            step += 1
+            final_loss = float(m["loss"])
+            metrics.commit(loss=final_loss,
+                           grad_norm=float(m.get("grad_norm", 0)))
+            lr = float(lr_fn(step)) if lr_fn is not None else 0.0
+            if step % loop_cfg.log_every == 0:
+                metrics.push(lr)
+                overwatch.info(metrics.status(epoch, lr))
+            else:
+                metrics.global_step += 1
+            if ckpt_manager is not None and step % loop_cfg.save_every == 0:
+                ckpt_manager.save(state, step=step, epoch=epoch,
+                                  loss=final_loss)
+            if loop_cfg.max_steps is not None and step >= loop_cfg.max_steps:
+                if ckpt_manager is not None:
+                    ckpt_manager.save(state, step=step, epoch=epoch,
+                                      loss=final_loss)
+                    ckpt_manager.wait()
+                overwatch.info(f"[run_training] examples seen: "
+                               f"{mm_seen} multimodal / {text_seen} text-only")
+                return state
+        if ckpt_manager is not None:
+            ckpt_manager.save(state, step=step, epoch=epoch, loss=final_loss)
+    if ckpt_manager is not None:
+        ckpt_manager.wait()
+    overwatch.info(f"[run_training] examples seen: "
+                   f"{mm_seen} multimodal / {text_seen} text-only")
+    return state
+
+
+def run_vla_training(*, vlm_cfg: VLMConfig, state, train_step: Callable,
+                     batch_iter, metrics, max_steps: int,
+                     loop_cfg: Optional[LoopConfig] = None, mesh=None,
+                     tokenizer=None, solver=None, eval_fn=None,
+                     ckpt_manager=None, lr_fn=None, start_step: int = 0):
+    """RLDS iterable-stream loop (reference ``run_vla_training``,
+    ``base_strategy.py:296-486``): no epochs — consume ``batch_iter`` for
+    ``max_steps`` steps (the RLDS interleave repeats forever). Per-step
+    action metrics come from the train step; optional Solver eval matches
+    the discrete loop."""
+    loop_cfg = loop_cfg or LoopConfig()
+    step = start_step
+    final_loss = float("nan")
+    for batch in batch_iter:
+        labels = batch["labels"]
+        get_host_labels = (
+            (lambda l=labels: np.asarray(l))
+            if not isinstance(labels, (list, tuple)) else lambda: None)
+        device_batch = {k: v for k, v in batch.items()
+                        if isinstance(v, np.ndarray) or hasattr(v, "shape")
+                        or isinstance(v, dict)}
+        if mesh is not None:
+            device_batch = shard_batch(device_batch, mesh)
+        state, m = train_step(state, device_batch)
+        step += 1
+        final_loss = float(m["loss"])
+        metrics.commit(loss=final_loss,
+                       action_accuracy=float(m.get("action_accuracy", 0)),
+                       action_l1=float(m.get("action_l1", 0)),
+                       grad_norm=float(m.get("grad_norm", 0)))
+        lr = float(lr_fn(step)) if lr_fn is not None else 0.0
+        if step % loop_cfg.log_every == 0:
+            metrics.push(lr)
+            overwatch.info(metrics.status(0, lr))
+        else:
+            metrics.global_step += 1
+        if (solver is not None and eval_fn is not None
+                and step % loop_cfg.eval_every == 0
+                and (host_labels := get_host_labels()) is not None):
+            preds = np.asarray(eval_fn(state.params, device_batch))
+            gts, prs = teacher_forced_texts(
+                preds, host_labels, vlm_cfg.num_patches, tokenizer)
+            _, a_acc, l1, rel_l1, _, _ = solver.evaluate_batch(gts, prs)
+            metrics.commit(solver_action_accuracy=float(np.mean(a_acc)),
+                           solver_l1=float(np.mean(l1)),
+                           solver_relative_l1=float(np.mean(rel_l1)))
+        if ckpt_manager is not None and step % loop_cfg.save_every == 0:
+            ckpt_manager.save(state, step=step, epoch=0, loss=final_loss)
+        if step >= max_steps:
+            break
+    if ckpt_manager is not None:
+        ckpt_manager.save(state, step=step, epoch=0, loss=final_loss)
+        ckpt_manager.wait()
+    return state

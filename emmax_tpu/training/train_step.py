@@ -81,7 +81,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
             cparams, cfg, batch["input_ids"], _pixel_values(batch),
             mask=batch["attention_mask"], labels=batch["labels"],
             attn_impl=attn_impl, remat=remat,
-            stop_vision_gradient=stop_vision_gradient)
+            stop_vision_gradient=stop_vision_gradient,
+            multimodal_mask=batch.get("multimodal_mask"))
         # fused labels for metrics: recompute cheaply from logits shape
         P = logits.shape[1] - batch["input_ids"].shape[1]
         fused_labels = jnp.concatenate(

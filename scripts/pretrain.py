@@ -46,7 +46,7 @@ def main(cfg: PretrainConfig) -> None:
     import jax
     import jax.numpy as jnp
 
-    from emmax_tpu.data.collators import BatchLoader, collate_train
+    from emmax_tpu.data.collators import SplitModalityLoader, collate_lm
     from emmax_tpu.data.pretrain import AlignDataset, FinetuneDataset
     from emmax_tpu.models.load import build_vlm
     from emmax_tpu.models.materialize import get_image_transforms
@@ -56,7 +56,7 @@ def main(cfg: PretrainConfig) -> None:
     from emmax_tpu.parallel.mesh import strategy_to_mesh_shape
     from emmax_tpu.training.checkpointing import (CheckpointManager,
                                                   write_sidecars)
-    from emmax_tpu.training.loop import LoopConfig, run_discrete_vla_training
+    from emmax_tpu.training.loop import LoopConfig, run_training
     from emmax_tpu.training.metrics import Metrics, build_trackers
     from emmax_tpu.training.train_state import (create_train_state,
                                                 make_optimizer)
@@ -106,10 +106,14 @@ def main(cfg: PretrainConfig) -> None:
     dataset = (AlignDataset(ann, imgs, tokenizer) if cfg.stage == "align"
                else FinetuneDataset(ann, imgs, tokenizer))
     per_host = max(gbs // jax.process_count(), 1)
-    loader = BatchLoader(dataset, per_host,
-                         lambda s: collate_train(s, tokenizer.pad_id),
-                         seed=cfg.seed, num_shards=jax.process_count(),
-                         shard_index=jax.process_index())
+    # split-modality batching + mixed text-only/multimodal collation
+    # (reference run_training path: SplitModalitySampler + collate with
+    # multimodal_indices, base_strategy.py:157-292)
+    loader = SplitModalityLoader(
+        dataset, per_host,
+        lambda s: collate_lm(s, tokenizer.pad_id),
+        seed=cfg.seed, num_shards=jax.process_count(),
+        shard_index=jax.process_index())
 
     mesh = make_mesh(strategy_to_mesh_shape(strategy, jax.device_count(),
                                             jax.process_count()))
@@ -143,11 +147,11 @@ def main(cfg: PretrainConfig) -> None:
         transforms=transforms,
         stop_vision_gradient=(cfg.stage == "align")), mesh=mesh)
     metrics = Metrics(build_trackers(cfg.trackers.split(","), run_id, run_dir))
-    state = run_discrete_vla_training(
+    state = run_training(
         vlm_cfg=vlm_cfg, state=state, train_step=step_fn, loader=loader,
         metrics=metrics,
         loop_cfg=LoopConfig(epochs=epochs, max_steps=cfg.max_steps,
-                            eval_every=10 ** 9, save_every=2500),
+                            save_every=2500),
         mesh=mesh, ckpt_manager=ckpt, lr_fn=schedule)
     metrics.finalize()
     overwatch.info(f"{cfg.stage} stage done at step {int(state.step)}")

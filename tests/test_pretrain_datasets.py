@@ -67,3 +67,81 @@ def test_finetune_text_only_examples(chat_data, tmp_path):
     batch = collate_lm([ds[0], ds[1]], tok.pad_id,
                        default_image_shape=(64, 64, 3))
     np.testing.assert_array_equal(batch["multimodal_indices"], [1])
+
+
+def test_split_modality_run_training_mixed_epoch(tmp_path):
+    """End-to-end VLM-stage loop: a mixed text+image synthetic dataset runs
+    one epoch through SplitModalityLoader + collate_lm + run_training, with
+    both modalities exercised (reference base_strategy.py:157-292)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.data.collators import SplitModalityLoader, collate_lm
+    from emmax_tpu.models.vlm import init_vlm_params, tiny_vlm_config
+    from emmax_tpu.ops.image import ImageTransformConfig
+    from emmax_tpu.training.loop import LoopConfig, run_training
+    from emmax_tpu.training.metrics import Metrics
+    from emmax_tpu.training.train_state import (create_train_state,
+                                                make_optimizer)
+    from emmax_tpu.training.train_step import jit_train_step, make_train_step
+
+    tok = ByteLevelTokenizer(512)
+    make_synthetic_chat_json(tmp_path / "chat.json", 8,
+                             image_dir=tmp_path / "img", text_only_every=2)
+    ds = FinetuneDataset(tmp_path / "chat.json", tmp_path / "img", tok,
+                         prompt_style="pure")
+    mods = ds.modality_lengths()
+    assert sum(1 for m, _ in mods if not m) == 4  # half text-only
+    loader = SplitModalityLoader(ds, 2, lambda s: collate_lm(s, tok.pad_id))
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4
+    # modality-pure buckets: each batch is all-mm or all-text
+    purity = [bool(np.all(b["multimodal_mask"]))
+              or bool(np.all(~b["multimodal_mask"])) for b in batches]
+    assert all(purity)
+    seen_mm = sum(int(b["multimodal_mask"].sum()) for b in batches)
+    assert seen_mm == 4
+
+    cfg = tiny_vlm_config(vocab_size=tok.padded_vocab_size)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1.0, lr_scheduler_type="constant",
+                           total_steps=4, stage="vla-full-train")
+    state = create_train_state(params, tx)
+    transforms = {n: ImageTransformConfig(size=v.img_size)
+                  for n, v in cfg.vision}
+    step = jit_train_step(make_train_step(cfg, tx, remat=False,
+                                          compute_dtype=jnp.float32,
+                                          transforms=transforms))
+    out = run_training(vlm_cfg=cfg, state=state, train_step=step,
+                       loader=loader, metrics=Metrics([]),
+                       loop_cfg=LoopConfig(epochs=1, log_every=2))
+    assert int(out.step) == 4
+
+
+def test_text_only_rows_do_not_attend_patches():
+    """A text-only row's loss must equal the pure-text forward (the zero
+    patch block is masked out entirely)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.models.vlm import (init_vlm_params, text_forward,
+                                      tiny_vlm_config, vlm_forward)
+
+    cfg = tiny_vlm_config(vocab_size=512)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 500, size=(1, 10))
+    ids[:, 0] = 1
+    labels = ids.copy()
+    labels[:, :2] = IGNORE_INDEX
+    pixels = {n: jnp.asarray(rng.normal(size=(1, v.img_size, v.img_size, 3))
+                             .astype(np.float32)) for n, v in cfg.vision}
+    _, loss_mixed, _ = vlm_forward(
+        params, cfg, jnp.asarray(ids), pixels,
+        labels=jnp.asarray(labels),
+        multimodal_mask=jnp.zeros((1,), bool))
+    _, loss_text = text_forward(params, cfg, jnp.asarray(ids),
+                                labels=jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss_mixed), float(loss_text),
+                               rtol=1e-5)

@@ -365,3 +365,85 @@ def test_fusion_layout_parity(ref):
     np.testing.assert_array_equal(np.asarray(our_mask), captured["mask"])
     np.testing.assert_array_equal(np.asarray(our_labels), captured["labels"])
     np.testing.assert_array_equal(np.asarray(our_embeds), captured["embeds"])
+
+
+def test_mixed_modality_fusion_parity(ref):
+    """Mixed multimodal/text-only batch: reference forward with
+    multimodal_indices (unimodal merge, prismatic.py:426-471) vs our
+    fuse_multimodal(multimodal_mask=...). The reference REORDERS the fused
+    batch to [multimodal rows..., unimodal rows...]; ours preserves row
+    order, so the comparison permutes accordingly."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+    from transformers.modeling_outputs import CausalLMOutputWithPast
+
+    from emmax_tpu.models.llama import IGNORE_INDEX
+    from emmax_tpu.models.vlm import fuse_multimodal
+
+    B, L, P, D = 4, 6, 3, 8
+    rng = np.random.default_rng(1)
+    embed_table = rng.normal(size=(64, D)).astype(np.float32)
+    input_ids = rng.integers(3, 64, size=(B, L))
+    input_ids[:, 0] = 1
+    attention_mask = np.ones((B, L), dtype=bool)
+    attention_mask[2, 4:] = False
+    labels = input_ids.copy()
+    labels[:, 0] = IGNORE_INDEX
+    labels[~attention_mask] = IGNORE_INDEX
+    mm_idx = np.asarray([0, 2])          # rows 1, 3 are text-only
+    patches_mm = rng.normal(size=(len(mm_idx), P, D)).astype(np.float32)
+
+    captured = {}
+
+    class StubVision(nn.Module):
+        def forward(self, pixel_values):
+            return torch.as_tensor(patches_mm)
+
+    class StubProjector(nn.Module):
+        def forward(self, feats):
+            return feats
+
+    class StubLLM(nn.Module):
+        def embed_input_ids(self, ids):
+            return torch.as_tensor(embed_table)[ids]
+
+        def forward(self, inputs_embeds=None, attention_mask=None,
+                    labels=None, **kw):
+            captured["embeds"] = inputs_embeds.detach().numpy()
+            captured["mask"] = attention_mask.detach().numpy()
+            captured["labels"] = labels.detach().numpy()
+            return CausalLMOutputWithPast(loss=torch.zeros(()),
+                                          logits=torch.zeros(1))
+
+    vlm = object.__new__(ref.prismatic.PrismaticVLM)
+    nn.Module.__init__(vlm)
+    vlm.vision_backbone = StubVision()
+    vlm.projector = StubProjector()
+    vlm.llm_backbone = StubLLM()
+    vlm.vision_backbone_requires_grad = False
+    vlm.forward(
+        input_ids=torch.as_tensor(input_ids),
+        attention_mask=torch.as_tensor(attention_mask),
+        pixel_values=torch.as_tensor(np.zeros((B, 3, 4, 4), np.float32)),
+        labels=torch.as_tensor(labels),
+        multimodal_indices=torch.as_tensor(mm_idx))
+
+    # ours: full-batch patches (text rows' patches are ignored/zeroed)
+    patches_full = np.zeros((B, P, D), np.float32)
+    patches_full[mm_idx] = patches_mm
+    mm_mask = np.zeros(B, bool)
+    mm_mask[mm_idx] = True
+    our_embeds, our_mask, our_labels, _ = fuse_multimodal(
+        jnp.asarray(patches_full),
+        jnp.asarray(embed_table)[jnp.asarray(input_ids)],
+        jnp.asarray(attention_mask), jnp.asarray(labels),
+        multimodal_mask=jnp.asarray(mm_mask))
+
+    perm = np.concatenate([mm_idx, [i for i in range(B) if i not in mm_idx]])
+    np.testing.assert_array_equal(np.asarray(our_mask)[perm],
+                                  captured["mask"])
+    np.testing.assert_array_equal(np.asarray(our_labels)[perm],
+                                  captured["labels"])
+    np.testing.assert_array_equal(np.asarray(our_embeds)[perm],
+                                  captured["embeds"])
