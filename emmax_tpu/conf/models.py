@@ -158,6 +158,94 @@ _MODELS: Dict[str, Dict] = {
     "phi-2+3b": dict(vision_backbone_id="dinosiglip-vit-so-224px",
                      llm_backbone_id="phi-2-3b",
                      arch_specifier="no-align+fused-gelu-mlp", finetune_epochs=1),
+    # Co-training ablations (run with multimodal-only data mixes;
+    # reference models.py:295-305)
+    "vicuna-no-cotraining+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp",
+        image_resize_strategy="letterbox", finetune_epochs=1),
+    "llama2-no-cotraining+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+gelu-mlp",
+        image_resize_strategy="letterbox", finetune_epochs=1),
+    # Train-time scaling (reference models.py:312-333)
+    "train-1.25-epochs+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp", image_resize_strategy="letterbox",
+        finetune_epochs=1, finetune_max_steps=6500),
+    "train-1.5-epochs+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp", image_resize_strategy="letterbox",
+        finetune_epochs=1, finetune_max_steps=7800),
+    "train-2-epochs+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp", image_resize_strategy="letterbox",
+        finetune_epochs=2),
+    "train-3-epochs+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp", image_resize_strategy="letterbox",
+        finetune_epochs=3),
+    # Data scaling (run with the matching --dataset.type;
+    # reference models.py:336-351)
+    "llava-lvis4v+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp",
+        image_resize_strategy="letterbox", finetune_epochs=1),
+    "llava-lrv+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp",
+        image_resize_strategy="letterbox", finetune_epochs=1),
+    "llava-lvis4v-lrv+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="vicuna-v15-7b",
+        arch_specifier="no-align+gelu-mlp",
+        image_resize_strategy="letterbox", finetune_epochs=1),
+    # Prisms (reference models.py:357-467)
+    "prism-clip-controlled+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=1),
+    "prism-clip-controlled+13b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="llama2-13b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=1),
+    "prism-clip+7b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=2),
+    "prism-clip+13b": dict(
+        vision_backbone_id="clip-vit-l-336px", llm_backbone_id="llama2-13b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=2),
+    "prism-siglip-controlled+7b": dict(
+        vision_backbone_id="siglip-vit-so400m-384px",
+        llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=1),
+    "prism-siglip-controlled+13b": dict(
+        vision_backbone_id="siglip-vit-so400m-384px",
+        llm_backbone_id="llama2-13b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=1),
+    "prism-siglip+7b": dict(
+        vision_backbone_id="siglip-vit-so400m-384px",
+        llm_backbone_id="llama2-7b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=2),
+    # NOTE: the reference's prism-siglip+13b really does use the CLIP tower
+    # (models.py:423-429) — reproduced verbatim
+    "prism-siglip+13b": dict(
+        vision_backbone_id="clip-vit-l-336px",
+        llm_backbone_id="llama2-13b-pure",
+        arch_specifier="no-align+gelu-mlp", finetune_epochs=2),
+    "prism-dinosiglip-controlled+7b": dict(
+        vision_backbone_id="dinosiglip-vit-so-384px",
+        llm_backbone_id="llama2-7b-pure", finetune_epochs=1),
+    "prism-dinosiglip-controlled+13b": dict(
+        vision_backbone_id="dinosiglip-vit-so-384px",
+        llm_backbone_id="llama2-13b-pure", finetune_epochs=1),
+    "prism-dinosiglip+7b": dict(
+        vision_backbone_id="dinosiglip-vit-so-384px",
+        llm_backbone_id="llama2-7b-pure", finetune_epochs=2),
+    "prism-dinosiglip+13b": dict(
+        vision_backbone_id="dinosiglip-vit-so-384px",
+        llm_backbone_id="llama2-13b-pure", finetune_epochs=2),
+    # Inference-optimized 224px Prisms (reference models.py:470-497)
+    "dinosiglip-224px-resize-naive+7b": dict(
+        llm_backbone_id="vicuna-v15-7b", finetune_epochs=1),
+    "prism-dinosiglip-224px-controlled+7b": dict(finetune_epochs=1),
     # Flagship (Emma-X / OpenVLA base VLM)
     "prism-dinosiglip-224px+7b": dict(finetune_epochs=2),
     "prism-dinosiglip-224px+13b": dict(llm_backbone_id="llama2-13b-pure", finetune_epochs=2),

@@ -80,3 +80,33 @@ def test_config_json_roundtrip(tmp_path):
     blob = json.dumps(d)
     assert json.loads(blob)["data_mix"] == "movement_policy"
     assert json.loads(blob)["type"] == EMMA_X_FLAGSHIP_ID
+
+
+def test_model_registry_covers_all_reference_ids():
+    """Every model_id in the reference conf/models.py (checked-in list,
+    tests/fixtures/reference_model_ids.txt, extracted from
+    /root/reference/prismatic/conf/models.py + registry.py:9-691) resolves
+    in both ModelConfig and the generated MODEL_REGISTRY."""
+    from pathlib import Path
+
+    from emmax_tpu.conf.models import ModelConfig
+    from emmax_tpu.models.registry import MODEL_REGISTRY
+
+    ids = [l.strip() for l in
+           (Path(__file__).parent / "fixtures" /
+            "reference_model_ids.txt").read_text().splitlines() if l.strip()]
+    assert len(ids) == 50
+    for mid in ids:
+        mc = ModelConfig.get_choice_class(mid)()
+        assert mc.model_id == mid
+        assert mid in MODEL_REGISTRY
+        assert MODEL_REGISTRY[mid]["kind"] == "vlm"
+    # spot-check reference-exact overrides
+    assert ModelConfig.get_choice_class(
+        "train-1.25-epochs+7b")().finetune_max_steps == 6500
+    assert ModelConfig.get_choice_class(
+        "prism-dinosiglip+13b")().vision_backbone_id == \
+        "dinosiglip-vit-so-384px"
+    # the reference's prism-siglip+13b uses the CLIP tower (models.py:423)
+    assert ModelConfig.get_choice_class(
+        "prism-siglip+13b")().vision_backbone_id == "clip-vit-l-336px"
