@@ -50,10 +50,13 @@ class BridgeEvalConfig:
 
 
 class WidowXEnvAdapter:
-    """Thin adapter over the widowx_envs WidowXClient
-    (``widowx_env.py:64-179``)."""
+    """Adapter over the widowx_envs WidowXClient via ``WidowXGymEnv``
+    (reference semantics: obs conversion/proprio padding, blocking
+    reset-to-start — ``emmax_tpu/experiments/widowx.py`` ≙
+    ``widowx_env.py:30-179``)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int,
+                 init_ee_pos=(0.3, 0.0, 0.15), interactive: bool = True):
         try:
             from widowx_envs.widowx_env_service import (WidowXClient,
                                                         WidowXConfigs)
@@ -61,19 +64,22 @@ class WidowXEnvAdapter:
             raise ImportError(
                 "widowx_envs not installed — this CLI drives a physical "
                 "robot server; use --dummy true for the mock loop") from e
-        self.client = WidowXClient(host=host, port=port)
-        self.client.init(WidowXConfigs.DefaultEnvParams, image_size=256)
+        from emmax_tpu.experiments.widowx import WidowXGymEnv
+
+        client = WidowXClient(host=host, port=port)
+        client.init(WidowXConfigs.DefaultEnvParams, image_size=256)
+        self.env = WidowXGymEnv(client, init_ee_pos=init_ee_pos,
+                                blocking=False,
+                                input_fn=input if interactive else None)
+        self.env.reset()
 
     def get_observation(self):
-        obs = None
-        while obs is None:
-            obs = self.client.get_observation()
-            time.sleep(0.05)
-        img = obs["image"].reshape(3, 256, 256).transpose(1, 2, 0) * 255.0
-        return {"full_image": img.astype(np.uint8), "proprio": obs["state"]}
+        obs = self.env.get_observation()
+        return {"full_image": obs.get("full_image", obs["image_primary"]),
+                "proprio": obs["proprio"]}
 
     def step(self, action):
-        self.client.step_action(action, blocking=False)
+        return self.env.step(action)
 
 
 class DummyEnv:

@@ -32,6 +32,7 @@ class SimplerConfig:
     pretrained_checkpoint: Optional[Path] = None
     env_name: str = "widowx_spoon_on_towel"
     policy_setup: str = "widowx_bridge"       # widowx_bridge | google_robot
+    sim: str = "simpler"                      # simpler | kinematic
     episodes: int = 10
     max_steps: int = 120
     max_new_tokens: int = 512
@@ -54,7 +55,7 @@ def main(cfg: SimplerConfig) -> None:
                        ByteLevelTokenizer(512),
                        {n: ImageTransformConfig(size=v.img_size)
                         for n, v in vcfg.vision})
-        cfg.dummy = True
+        cfg.sim = "kinematic"
         cfg.episodes = 1
         cfg.max_steps = 5
         cfg.max_new_tokens = 10
@@ -69,7 +70,6 @@ def main(cfg: SimplerConfig) -> None:
 
     if cfg.dummy:
         rng = np.random.default_rng(0)
-        successes = 0
         for ep in range(cfg.episodes):
             policy.reset("put the spoon on the towel")
             for t in range(cfg.max_steps):
@@ -77,6 +77,35 @@ def main(cfg: SimplerConfig) -> None:
                 raw, action = policy.step(img, "put the spoon on the towel")
             overwatch.info(f"dummy episode {ep}: ran {cfg.max_steps} steps")
         overwatch.info("dummy run complete (no simulator attached)")
+        return
+
+    if cfg.sim == "kinematic":
+        # in-image scored benchmark over the kinematic pick-and-place proxy
+        # (SAPIEN is external; emmax_tpu/experiments/kinematic_sim.py)
+        from emmax_tpu.experiments.kinematic_sim import TASKS, evaluate_policy
+
+        class _FlatPolicy:
+            """Adapter: SimplerInference dict actions -> 7-vector."""
+
+            def reset(self, instruction):
+                policy.reset(instruction)
+
+            def step(self, image, instruction):
+                raw, action = policy.step(image, instruction)
+                if isinstance(action, dict):
+                    action = np.concatenate(
+                        [action["world_vector"], action["rot_axangle"],
+                         action["gripper"]])
+                return raw, action
+
+        names = ([cfg.env_name] if cfg.env_name in TASKS else list(TASKS))
+        report = evaluate_policy(_FlatPolicy(), tasks=names,
+                                 episodes_per_task=cfg.episodes,
+                                 max_steps=cfg.max_steps)
+        for name, rate in report["per_task"].items():
+            overwatch.info(f"{name}: success rate {rate:.2%}")
+        overwatch.info(
+            f"overall success rate: {report['overall_success_rate']:.2%}")
         return
 
     try:

@@ -125,3 +125,165 @@ def test_closed_loop_with_mock_env(vla):
     assert len(env.steps) >= 1
     assert len(log.actions) == len(env.steps)
     assert all(isinstance(t, str) for t in log.texts)
+
+
+# === WidowX env semantics (reference widowx_env.py:30-179) ==================
+
+class _FakeWidowXClient:
+    def __init__(self, im_size=4, fail_after=None):
+        self.im_size = im_size
+        self.calls = []
+        self.fail_after = fail_after
+        self.n_obs = 0
+        self.state = np.arange(7, dtype=np.float64) / 10.0
+
+    def get_observation(self):
+        self.n_obs += 1
+        if self.fail_after is not None and self.n_obs > self.fail_after:
+            return None
+        img = np.linspace(0, 1, 3 * self.im_size * self.im_size)
+        return {"image": img, "state": self.state,
+                "full_image": np.zeros((8, 8, 3), np.uint8),
+                "eef_transform": np.eye(4)}
+
+    def step_action(self, action, blocking=False):
+        self.calls.append(("step", np.asarray(action), blocking))
+
+    def move(self, transform, duration=1, blocking=False):
+        self.calls.append(("move", np.asarray(transform), blocking))
+
+    def move_gripper(self, pos):
+        self.calls.append(("gripper", pos))
+
+    def reset(self):
+        self.calls.append(("reset",))
+
+
+def test_widowx_convert_obs_padding_and_image():
+    from emmax_tpu.experiments.widowx import convert_obs
+
+    im_size = 4
+    img = np.linspace(0, 1, 3 * im_size * im_size)
+    state = np.arange(7, dtype=np.float64) / 10.0
+    obs = convert_obs({"image": img, "state": state}, im_size)
+    # CHW float [0,1] -> HWC uint8
+    assert obs["image_primary"].shape == (4, 4, 3)
+    assert obs["image_primary"].dtype == np.uint8
+    ref = (img.reshape(3, 4, 4).transpose(1, 2, 0) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(obs["image_primary"], ref)
+    # proprio padded to 8: [state[:6], 0, state[-1]]
+    assert obs["proprio"].shape == (8,)
+    np.testing.assert_allclose(obs["proprio"][:6], state[:6])
+    assert obs["proprio"][6] == 0.0
+    assert obs["proprio"][7] == state[-1]
+
+
+def test_widowx_env_step_and_truncation():
+    from emmax_tpu.experiments.widowx import WidowXGymEnv
+
+    client = _FakeWidowXClient(fail_after=1)
+    env = WidowXGymEnv(client, im_size=4, blocking=True)
+    obs, r, done, truncated, _ = env.step(np.zeros(7))
+    assert not truncated and obs["proprio"].shape == (8,)
+    # second obs is None -> null obs + truncation (lost connection)
+    obs, r, done, truncated, _ = env.step(np.zeros(7))
+    assert truncated
+    np.testing.assert_array_equal(obs["image_primary"], 0)
+    np.testing.assert_array_equal(obs["proprio"], 0)
+    assert client.calls[0][2] is True  # blocking step honored
+
+
+def test_widowx_reset_to_start_blocking_transform():
+    from emmax_tpu.experiments.widowx import START_ROTATION, WidowXGymEnv
+
+    client = _FakeWidowXClient()
+    prompts = []
+
+    def fake_input(prompt):
+        prompts.append(prompt)
+        return "0.25" if prompt.startswith("Enter x") else ""
+
+    env = WidowXGymEnv(client, init_ee_pos=(0.3, 0.0, 0.15), im_size=4,
+                       input_fn=fake_input)
+    obs, _ = env.reset()
+    assert client.calls[0] == ("reset",)
+    kind, transform, blocking = client.calls[1]
+    assert kind == "move"
+    # reset-to-start MUST be blocking (widowx_env.py:168-172)
+    assert blocking is True
+    np.testing.assert_allclose(transform[:3, :3], START_ROTATION)
+    # x overridden by the prompt, y/z defaults kept
+    np.testing.assert_allclose(transform[:3, 3], [0.25, 0.0, 0.15])
+    assert transform[3, 3] == 1.0
+    assert len(prompts) == 3
+    assert obs["proprio"].shape == (8,)
+
+
+def test_widowx_move_issues_gripper_command():
+    from emmax_tpu.experiments.widowx import WidowXGymEnv
+
+    client = _FakeWidowXClient()
+    env = WidowXGymEnv(client, im_size=4, blocking=False)
+    env.move(np.eye(4), 0.9)
+    kinds = [c[0] for c in client.calls]
+    assert kinds == ["move", "gripper"]
+    assert client.calls[0][2] is False  # non-blocking move path
+    assert client.calls[1][1] == 0.9
+
+
+# === scored kinematic sim evaluation (maniskill2_evaluator machinery) =======
+
+def test_kinematic_sim_expert_succeeds_random_fails():
+    from emmax_tpu.experiments.kinematic_sim import (KinematicManipEnv,
+                                                     ScriptedExpertPolicy,
+                                                     TASKS, evaluate_policy)
+
+    env = KinematicManipEnv(TASKS["widowx_spoon_on_towel"], seed=0)
+    expert = ScriptedExpertPolicy(env)
+    report = evaluate_policy(expert, tasks=list(TASKS),
+                             episodes_per_task=2, max_steps=120)
+    assert report["overall_success_rate"] == 1.0
+    assert set(report["per_task"]) == set(TASKS)
+
+    class ZeroPolicy:
+        def reset(self, instruction):
+            pass
+
+        def step(self, image, instruction):
+            return None, np.zeros(7)
+
+    report0 = evaluate_policy(ZeroPolicy(), tasks=["widowx_spoon_on_towel"],
+                              episodes_per_task=2, max_steps=30)
+    assert report0["overall_success_rate"] == 0.0
+
+
+def test_kinematic_sim_grasp_and_render_contract():
+    from emmax_tpu.experiments.kinematic_sim import KinematicManipEnv, TASKS
+
+    env = KinematicManipEnv(TASKS["widowx_carrot_on_plate"], seed=1,
+                            init_noise=0.0)
+    obs, info = env.reset()
+    assert obs["image"].shape == (128, 128, 3)
+    assert info["instruction"] == "put carrot on plate"
+    # closing far away must NOT grasp
+    obs, _, _, _, info = env.step([0, 0, 0, 0, 0, 0, 0.0])
+    assert not info["grasped"]
+    # teleport-free approach: drive to the object then close
+    for _ in range(40):
+        delta = (env.object_pos - env.gripper_pos) / 0.05
+        obs, _, _, _, info = env.step([*np.clip(delta, -1, 1), 0, 0, 0, 1.0])
+        if np.linalg.norm(env.gripper_pos - env.object_pos) < 0.03:
+            break
+    obs, _, _, _, info = env.step([0, 0, 0, 0, 0, 0, 0.0])
+    assert info["grasped"]
+    # grasped object follows the gripper
+    env.step([1, 0, 0, 0, 0, 0, 0.0])
+    np.testing.assert_allclose(env.object_pos, env.gripper_pos)
+    # frames are deterministic given seed
+    env2 = KinematicManipEnv(TASKS["widowx_carrot_on_plate"], seed=1,
+                             init_noise=0.0)
+    obs2, _ = env2.reset()
+    env_r = KinematicManipEnv(TASKS["widowx_carrot_on_plate"], seed=1,
+                              init_noise=0.0)
+    obs_r, _ = env_r.reset()
+    np.testing.assert_array_equal(obs2["image"], obs_r["image"])
