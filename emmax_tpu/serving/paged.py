@@ -1,0 +1,333 @@
+"""Paged KV cache for continuous batching.
+
+The slot-pool engine (``serving/continuous.py``) reserves ``cache_len``
+slots of KV per request up front, so HBM capacity — not compute — caps the
+number of concurrent requests. This engine instead allocates the cache in
+fixed-size PAGES from a shared pool (vLLM-style paged attention, done the
+TPU way): per-request page tables are just int32 index rows, pages are
+allocated at admission for the prefill and then one at a time as decode
+crosses page boundaries, and retired requests return pages to the free
+list. A mix of short requests packs ~``cache_len / typical_len`` times more
+concurrency into the same HBM.
+
+Layout:
+- ``k/v``: ``[n_layers, n_pages, page_size, KV, hd]`` page pool
+- ``page_table``: ``[num_slots, max_pages]`` int32 (page id, -1 = unused)
+- per-slot cursors/masks as in the slot-pool engine
+
+Decode gathers each slot's pages into a contiguous ``[B, S, KV, hd]`` view
+before attention (``jnp.take`` on the page axis — XLA lowers this to a
+dynamic-gather feeding the attention fusion). That costs one extra copy of
+the active cache per step versus the dense layout; the capacity win (more
+live slots → better weight-read amortization, which is what batch decode
+throughput scales with) dominates when requests are shorter than the dense
+reservation. Page writes are per-row scatters at
+``(page_table[b, t // ps], t % ps)`` — pages are slot-exclusive, so rows
+never collide.
+
+The reference has no serving stack at all (HF ``generate``, batch=1,
+``modeling_prismatic.py:326``); both engines are beyond-reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emmax_tpu.models.llama import (embed_tokens, init_kv_cache, layer_slice,
+                                    mm)
+from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal,
+                                  llm_apply)
+from emmax_tpu.ops.attention import multi_head_attention
+from emmax_tpu.ops.norms import rms_norm
+from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+def init_paged_pool(cfg, *, n_pages: int, page_size: int, num_slots: int,
+                    max_pages_per_slot: int, dtype=jnp.bfloat16) -> Dict:
+    """Allocates ``n_pages`` usable pages + one TRASH page (the last index):
+    inactive rows of the batched decode step write there instead of
+    clobbering a live page."""
+    llm = cfg.llm
+    shape = (llm.n_layers, n_pages + 1, page_size, llm.n_kv_heads,
+             llm.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "page_table": jnp.full((num_slots, max_pages_per_slot), -1,
+                               jnp.int32),
+        "len": jnp.zeros((num_slots,), jnp.int32),
+        "cur": jnp.zeros((num_slots,), jnp.int32),
+        "remaining": jnp.zeros((num_slots,), jnp.int32),
+        "active": jnp.zeros((num_slots,), jnp.bool_),
+    }
+
+
+@partial(jax.jit, static_argnames=("llm_cfg", "page_size"))
+def _paged_decode_step(llm_params, llm_cfg, pool, *, page_size: int):
+    """One greedy token for every active slot, K/V in pages."""
+    B, MP = pool["page_table"].shape
+    t = pool["len"]                                    # [B] cursors
+    positions = t[:, None]
+    emb = embed_tokens(llm_params, pool["cur"][:, None])  # [B, 1, D]
+    cos, sin = rope_cos_sin(positions, llm_cfg.head_dim, llm_cfg.rope_theta)
+    S = MP * page_size
+    slot_ids = jnp.arange(S)[None, :]
+    kv_mask = slot_ids < t[:, None]                    # attend to history
+    page_of_t = t // page_size                         # [B]
+    off_of_t = t % page_size
+    rows = jnp.arange(B)
+
+    def body(i, carry):
+        h, k_pages, v_pages = carry
+        p = layer_slice(llm_params["layers"], i)
+        x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
+        k_new = mm(x, p["wk"]).reshape(B, 1, llm_cfg.n_kv_heads,
+                                       llm_cfg.head_dim)
+        v_new = mm(x, p["wv"]).reshape(B, 1, llm_cfg.n_kv_heads,
+                                       llm_cfg.head_dim)
+        k_new = apply_rope(k_new, cos, sin)
+        raw_ids = pool["page_table"][rows, page_of_t]   # [B]
+        trash = k_pages.shape[1] - 1
+        page_ids = jnp.where(pool["active"] & (raw_ids >= 0), raw_ids, trash)
+        k_pages = k_pages.at[i, page_ids, off_of_t].set(
+            k_new[:, 0].astype(k_pages.dtype))
+        v_pages = v_pages.at[i, page_ids, off_of_t].set(
+            v_new[:, 0].astype(v_pages.dtype))
+        # gather this slot's pages into a contiguous [B, S, KV, hd] view
+        k_c = jnp.take(k_pages[i], jnp.clip(pool["page_table"], 0),
+                       axis=0).reshape(B, S, llm_cfg.n_kv_heads,
+                                       llm_cfg.head_dim)
+        v_c = jnp.take(v_pages[i], jnp.clip(pool["page_table"], 0),
+                       axis=0).reshape(B, S, llm_cfg.n_kv_heads,
+                                       llm_cfg.head_dim)
+        q = mm(x, p["wq"]).reshape(B, 1, llm_cfg.n_heads, llm_cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        attn = multi_head_attention(
+            q, k_c.astype(h.dtype), v_c.astype(h.dtype),
+            kv_mask=kv_mask | (slot_ids == t[:, None]), causal=True,
+            q_offset=t)
+        h = h + mm(attn.reshape(B, 1, -1), p["wo"])
+        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
+        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
+                   p["w_down"])
+        return (h, k_pages, v_pages)
+
+    h, k_pages, v_pages = jax.lax.fori_loop(
+        0, llm_cfg.n_layers, body, (emb, pool["k"], pool["v"]))
+    h = rms_norm(h, llm_params["final_norm"], llm_cfg.norm_eps)
+    logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)
+    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+    return dict(pool, k=k_pages, v=v_pages), nxt
+
+
+@partial(jax.jit, static_argnames=("cfg", "scratch_len", "attn_impl"))
+def _prefill_request(params, cfg: VLMConfig, input_ids, mask, pixel_values,
+                     *, scratch_len: int, attn_impl: str = "xla"):
+    """B=1 multimodal prefill into a dense scratch cache (paged copy-in
+    happens on the host side, page by page)."""
+    compute_dtype = params["llm"]["embed"].dtype
+    cache = init_kv_cache(cfg.llm, 1, scratch_len, dtype=compute_dtype)
+    patch_embeds = encode_images(params, cfg, pixel_values,
+                                 attn_impl=attn_impl)
+    input_embeds = embed_tokens(params["llm"], input_ids)
+    embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
+                                                  mask, None)
+    logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
+                              positions=positions, kv_cache=cache,
+                              attn_impl=attn_impl)
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)[0]
+    used = positions[0, -1] + 1
+    return first.astype(jnp.int32), cache["k"], cache["v"], used
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("page_size", "slot"))
+def _insert_pages(pool, slot: int, k_scratch, v_scratch, page_ids, used,
+                  first_tok, max_new, *, page_size: int):
+    """Scatter a dense prefill cache into the assigned pages."""
+    n = page_ids.shape[0]
+    L = k_scratch.shape[0]
+    # [L, n*ps, KV, hd] -> [L, n, ps, KV, hd] rows of the page pool
+    k_src = k_scratch[:, 0, : n * page_size].reshape(
+        L, n, page_size, *k_scratch.shape[-2:])
+    v_src = v_scratch[:, 0, : n * page_size].reshape(
+        L, n, page_size, *v_scratch.shape[-2:])
+    pool = dict(pool)
+    pool["k"] = pool["k"].at[:, page_ids].set(k_src.astype(pool["k"].dtype))
+    pool["v"] = pool["v"].at[:, page_ids].set(v_src.astype(pool["v"].dtype))
+    table_row = jnp.full((pool["page_table"].shape[1],), -1, jnp.int32)
+    table_row = table_row.at[:n].set(page_ids)
+    pool["page_table"] = pool["page_table"].at[slot].set(table_row)
+    pool["len"] = pool["len"].at[slot].set(used.astype(jnp.int32))
+    pool["cur"] = pool["cur"].at[slot].set(first_tok)
+    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
+    pool["active"] = pool["active"].at[slot].set(True)
+    return pool
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
+def _append_page(pool, slot: int, table_idx, page_id):
+    pool = dict(pool)
+    pool["page_table"] = pool["page_table"].at[slot, table_idx].set(page_id)
+    return pool
+
+
+@dataclasses.dataclass
+class _Request:
+    request_id: int
+    prompt_ids: np.ndarray
+    pixel_values: Dict
+    max_new_tokens: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    n_pages: int = 0
+
+
+class PagedServingEngine:
+    """Continuous batching over a shared page pool (greedy, Llama family)."""
+
+    def __init__(self, cfg: VLMConfig, params, tokenizer, *,
+                 num_slots: int = 8, n_pages: int = 64, page_size: int = 64,
+                 max_pages_per_slot: int = 16, attn_impl: str = "xla") -> None:
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.num_slots = num_slots
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.max_pages_per_slot = max_pages_per_slot
+        self.attn_impl = attn_impl
+        compute_dtype = params["llm"]["embed"].dtype
+        self.pool = init_paged_pool(
+            cfg, n_pages=n_pages, page_size=page_size, num_slots=num_slots,
+            max_pages_per_slot=max_pages_per_slot, dtype=compute_dtype)
+        self.free_pages: List[int] = list(range(n_pages))
+        self._ids = itertools.count()
+        self.queue: List[_Request] = []
+        self.running: Dict[int, _Request] = {}
+        self.finished: Dict[int, List[int]] = {}
+
+    # -- API --------------------------------------------------------------
+    def submit(self, prompt: str, pixel_values: Dict,
+               max_new_tokens: int = 512) -> int:
+        rid = next(self._ids)
+        ids = np.asarray([self.tokenizer.encode(prompt)], np.int32)
+        fused = ids.shape[1] + self.cfg.num_patches
+        need_pages = -(-(fused + max_new_tokens) // self.page_size)
+        if need_pages > self.max_pages_per_slot:
+            raise ValueError(
+                f"request needs {need_pages} pages (> max_pages_per_slot="
+                f"{self.max_pages_per_slot}); raise it or shorten the "
+                "prompt/max_new_tokens")
+        self.queue.append(_Request(rid, ids, pixel_values, max_new_tokens))
+        return rid
+
+    def _pages_needed(self, req: _Request) -> int:
+        fused = req.prompt_ids.shape[1] + self.cfg.num_patches
+        return -(-fused // self.page_size)
+
+    def _admit(self) -> None:
+        free_slots = [s for s in range(self.num_slots)
+                      if s not in self.running]
+        while free_slots and self.queue:
+            req = self.queue[0]
+            n0 = self._pages_needed(req)
+            if len(self.free_pages) < n0 + 1:   # +1 headroom for decode
+                break                            # admission waits for pages
+            self.queue.pop(0)
+            slot = free_slots.pop(0)
+            fused = req.prompt_ids.shape[1] + self.cfg.num_patches
+            scratch = -(-fused // 128) * 128
+            first, k_s, v_s, used = _prefill_request(
+                self.params, self.cfg, jnp.asarray(req.prompt_ids),
+                jnp.ones(req.prompt_ids.shape, jnp.bool_), req.pixel_values,
+                scratch_len=max(scratch, n0 * self.page_size),
+                attn_impl=self.attn_impl)
+            page_ids = np.asarray([self.free_pages.pop(0)
+                                   for _ in range(n0)], np.int32)
+            self.pool = _insert_pages(
+                self.pool, slot, k_s, v_s, jnp.asarray(page_ids), used,
+                first, jnp.int32(req.max_new_tokens),
+                page_size=self.page_size)
+            req.slot = slot
+            req.n_pages = n0
+            self.running[slot] = req
+
+    def _ensure_pages(self, lens: np.ndarray) -> bool:
+        """Grow page tables for slots whose next token crosses a page
+        boundary. Returns False if the pool is exhausted."""
+        for slot, req in self.running.items():
+            needed = int(lens[slot]) // self.page_size + 1
+            if needed > req.n_pages:
+                if not self.free_pages:
+                    return False
+                page = self.free_pages.pop(0)
+                self.pool = _append_page(self.pool, slot,
+                                         jnp.int32(req.n_pages),
+                                         jnp.int32(page))
+                req.n_pages += 1
+        return True
+
+    def step(self) -> List[Tuple[int, List[int]]]:
+        self._admit()
+        if not self.running:
+            return []
+        lens = np.asarray(self.pool["len"])
+        if not self._ensure_pages(lens):
+            raise RuntimeError("page pool exhausted mid-decode; add pages "
+                               "or lower num_slots")
+        active = np.asarray(self.pool["active"])
+        self.pool, nxt = _paged_decode_step(self.params["llm"], self.cfg.llm,
+                                            self.pool,
+                                            page_size=self.page_size)
+        nxt = np.asarray(nxt)
+        cur = np.asarray(self.pool["cur"])
+        done_now = []
+        new_cur = np.array(cur)
+        new_len = np.array(lens)
+        new_active = np.array(active)
+        remaining = np.array(self.pool["remaining"])  # writable copy
+        for slot, req in list(self.running.items()):
+            if not active[slot]:
+                continue
+            tok = int(cur[slot])
+            req.tokens.append(tok)
+            remaining[slot] -= 1
+            finished = (tok == self.tokenizer.eos_id
+                        or remaining[slot] <= 0)
+            if finished:
+                if req.tokens and req.tokens[-1] == self.tokenizer.eos_id:
+                    req.tokens.pop()
+                new_active[slot] = False
+                self.finished[req.request_id] = req.tokens[:req.max_new_tokens]
+                done_now.append((req.request_id,
+                                 self.finished[req.request_id]))
+                # return pages to the pool
+                table = np.asarray(self.pool["page_table"][slot])
+                self.free_pages.extend(int(p) for p in table if p >= 0)
+                del self.running[slot]
+            else:
+                new_cur[slot] = int(nxt[slot])
+                new_len[slot] = lens[slot] + 1
+        self.pool = dict(self.pool,
+                         cur=jnp.asarray(new_cur),
+                         len=jnp.asarray(new_len),
+                         active=jnp.asarray(new_active),
+                         remaining=jnp.asarray(remaining))
+        return done_now
+
+    def run_until_complete(self, max_steps: int = 2000) -> Dict[int, List[int]]:
+        for _ in range(max_steps):
+            self.step()
+            if not self.queue and not self.running:
+                break
+        return self.finished
+
+    def decode_text(self, tokens: List[int]) -> str:
+        return self.tokenizer.decode(tokens).strip()
