@@ -55,7 +55,9 @@ class EmmaXVLA:
         action_dim: int = 7,
         options: Optional[GenerateOptions] = None,
         speculative: bool = False,
-        draft_k: int = 8,
+        draft_k: int = 12,
+        closed_loop: bool = True,
+        prefix_tail: int = 24,
     ) -> None:
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -68,16 +70,24 @@ class EmmaXVLA:
         if speculative:
             # prompt-lookup speculative greedy decode — identical tokens,
             # fewer verifier forwards on repetitive GCOT output (see
-            # docs/BENCHMARKS.md); greedy-only
+            # docs/BENCHMARKS.md); greedy-only. `closed_loop` adds the
+            # cross-frame serving stack: VisionCache (patch reuse),
+            # prefix-KV tail refresh, and drafts seeded from the previous
+            # frame's output (generate_actions threads these automatically).
+            from emmax_tpu.serving.engine import VisionCache
             from emmax_tpu.serving.speculative import SpeculativeEngine
 
-            self.engine = SpeculativeEngine(cfg, params, tokenizer,
-                                            options=options,
-                                            attn_impl=attn_impl,
-                                            draft_k=draft_k)
+            self.engine = SpeculativeEngine(
+                cfg, params, tokenizer, options=options,
+                attn_impl=attn_impl, draft_k=draft_k,
+                prefix_tail=prefix_tail if closed_loop else 0,
+                vision_cache=(VisionCache(capacity=4, threshold=0.02)
+                              if closed_loop else None))
         else:
             self.engine = ServingEngine(cfg, params, tokenizer,
                                         options=options, attn_impl=attn_impl)
+        self._closed_loop = speculative and closed_loop
+        self._last_output_ids = None
         self.action_tokenizer = ActionTokenizer(tokenizer)
         self.solver = Solver(self.action_tokenizer)
 
@@ -107,7 +117,21 @@ class EmmaXVLA:
     def generate(self, image, prompt_text: str,
                  max_new_tokens: int = 512) -> str:
         """Free-form text generation for one frame (reference
-        ``prismatic.py:597-625``)."""
+        ``prismatic.py:597-625``). In closed-loop speculative mode the raw
+        frame keys the vision cache and the previous frame's output seeds
+        cross-frame drafts (exact greedy output either way)."""
+        if self._closed_loop:
+            frame = _as_uint8_array(image)
+            out = self.engine.generate_ids(
+                [prompt_text], self._pixels(image),
+                max_new_tokens=max_new_tokens,
+                draft_context=self._last_output_ids, frame_key=frame)
+            self._last_output_ids = out[0]
+            row = list(out[0])
+            eos = self.engine.options.eos_id
+            if eos in row:
+                row = row[:row.index(eos)]
+            return self.tokenizer.decode(row).strip()
         return self.engine.generate([prompt_text], self._pixels(image),
                                     max_new_tokens=max_new_tokens)[0]
 

@@ -117,6 +117,19 @@ class VisionCache:
             fps.append(img.mean(axis=(2, 4)).ravel())
         return np.concatenate(fps)
 
+    def fingerprint_host(self, frame) -> np.ndarray:
+        """Fingerprint a HOST uint8 camera frame (no device fetch — on the
+        remote-TPU relay every device->host transfer costs ~30 ms, so the
+        closed loop should key the cache on the raw frame it already has).
+        Values are scaled to roughly match the normalized-pixel threshold."""
+        img = np.asarray(frame, np.float32) / 127.5 - 1.0
+        if img.ndim == 3:
+            img = img[None]
+        h, w = img.shape[1] // self.pool, img.shape[2] // self.pool
+        img = img[:, : h * self.pool, : w * self.pool]
+        img = img.reshape(1, h, self.pool, w, self.pool, -1)
+        return img.mean(axis=(2, 4)).ravel()
+
     def lookup(self, fp: np.ndarray):
         for cached_fp, patches in reversed(self.entries):
             if np.mean(np.abs(cached_fp - fp)) <= self.threshold:

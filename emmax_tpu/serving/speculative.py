@@ -18,11 +18,24 @@ chunk yields. The reference has no speculative path (HF ``generate``,
 ``/root/reference/prismatic/models/vlms/prismatic.py:487-664``) — this is a
 beyond-reference capability.
 
-The whole decode runs in ONE jitted ``lax.while_loop`` (like
-``engine._generate_multimodal``), using the per-row cache-cursor path of
-``llama_forward`` (chunk written at slots ``[t0, t0+K+1)``, causal attention
-with per-row ``q_offset``); rejected slots are invalidated by rewinding the
-slot mask + cursor, then overwritten by the next chunk.
+The generation is staged into three jitted pieces:
+
+- ``_spec_prefill`` — fused multimodal prefill into a fresh KV cache;
+- ``_spec_tail_refresh`` — **prefix-KV reuse across closed-loop frames**:
+  on a vision-cache hit, consecutive frames differ only in the last few
+  prompt tokens (the ``CURRENT GRIPPER: [x, y]`` coordinates), so the
+  previous frame's post-prefill cache is reused and only the last
+  ``prefix_tail`` fused slots are recomputed — ~1 decode-step of work
+  instead of a full ~620-token prefill (reference re-prefills every frame,
+  ``run_bridgev2_eval.py:149-199``);
+- ``_spec_decode`` — the draft/verify ``lax.while_loop`` using the per-row
+  cache-cursor path of ``llama_forward`` (chunk written at slots
+  ``[t0, t0+K+1)``, causal attention with per-row ``q_offset``); rejected
+  slots are invalidated by rewinding the slot mask + cursor, then
+  overwritten by the next chunk.
+
+The decode stage does not donate its cache operand, so the post-prefill
+cache buffer survives the frame and seeds the next frame's tail refresh.
 """
 
 from __future__ import annotations
@@ -64,37 +77,16 @@ def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int) -> jax.Array:
     return jnp.where((jbest >= 0)[:, None], draft, -1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new", "cache_len", "eos_id",
-                                   "attn_impl", "k", "quantized_cache"))
-def _generate_speculative(params, cfg: VLMConfig, input_ids, mask,
-                          pixel_values, forced, draft_ctx, *, max_new: int,
-                          cache_len: int, eos_id: int, attn_impl: str = "xla",
-                          k: int = 8, quantized_cache: bool = False):
-    """input_ids/mask [B, L] (left-padded) -> (tokens [B, max_new], steps).
-
-    ``steps`` is the number of verifier forwards; ``emitted / steps`` is the
-    mean accepted-tokens-per-step (1.0 = no speculation wins).
-
-    ``draft_ctx`` (optional [B, C] int32, -1 padded): extra tokens seeded
-    into the lookup history BEFORE the prompt — they are never attended or
-    emitted, they only feed drafting. In the closed robot loop the previous
-    frame's GCOT output is the natural context: consecutive frames decode
-    nearly identical text, so cross-frame lookup drafts get long accepts
-    (the reference decodes every frame from scratch,
-    ``run_bridgev2_eval.py:149-199``).
-
-    ``forced`` (optional [B, >= max_new + 2k+2] int32): teacher-forced
-    verifier outputs for benchmarking — every verifier forward still runs
-    (true HBM cost) but its argmax is replaced by the given stream, so the
-    measured acceptance is the TRUE prompt-lookup hit rate on that stream
-    (e.g. a representative GCOT text) instead of an artifact of the loaded
-    weights. Output then equals the forced stream.
-    """
+def _spec_prefill_impl(params, cfg: VLMConfig, input_ids, mask,
+                       pixel_values, *, cache_len: int,
+                       attn_impl: str = "xla",
+                       quantized_cache: bool = False):
+    """Fused multimodal prefill → (cache [scalar len], first argmax,
+    next rope position per row, patch embeds)."""
     B, L = input_ids.shape
     compute_dtype = params["llm"]["embed"].dtype
     cache = init_kv_cache(cfg.llm, B, cache_len, dtype=compute_dtype,
                           quantized=quantized_cache)
-
     patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
@@ -102,13 +94,61 @@ def _generate_speculative(params, cfg: VLMConfig, input_ids, mask,
     logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
                               positions=positions, kv_cache=cache,
                               attn_impl=attn_impl)
-    first_tok = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
-    if forced is not None:
-        first_tok = forced[:, 0]
-    P = embeds.shape[1]
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+    cur_pos = (positions[:, -1] + 1).astype(jnp.int32)
+    return cache, first, cur_pos, patch_embeds
+
+
+_spec_prefill = partial(jax.jit, static_argnames=(
+    "cfg", "cache_len", "attn_impl", "quantized_cache"))(
+        lambda *a, **k: _spec_prefill_impl(*a, **k)[:3])
+
+
+def _spec_tail_impl(params, cfg: VLMConfig, tail_ids, cache, cur_pos, *,
+                    t_tail: int, attn_impl: str = "xla"):
+    """Rewrite the last ``t_tail`` fused slots of a previous frame's
+    post-prefill cache (prompt prefix + patches identical, tail tokens —
+    e.g. gripper coordinates — changed). Returns a NEW cache; the input is
+    not donated, so the caller's copy stays valid."""
+    F = cache["len"]
+    emb = embed_tokens(params["llm"], tail_ids)
+    tail_pos = (cur_pos[:, None] - t_tail
+                + jnp.arange(t_tail, dtype=jnp.int32)[None, :])
+    logits, cache = llm_apply(params["llm"], cfg.llm, emb,
+                              positions=tail_pos,
+                              kv_cache=dict(cache, len=F - t_tail),
+                              attn_impl=attn_impl)
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+    return cache, first
+
+
+_spec_tail_refresh = partial(jax.jit, static_argnames=(
+    "cfg", "t_tail", "attn_impl"))(_spec_tail_impl)
+
+
+def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
+                      first_in, cur_pos, forced, draft_ctx, *, max_new: int,
+                      eos_id: int, attn_impl: str = "xla", k: int = 8):
+    """Draft/verify loop → (tokens [B, max_new], verifier steps, chk).
+
+    ``forced`` (optional [B, >= max_new + 2k+2] int32): teacher-forced
+    verifier outputs for benchmarking — every verifier forward still runs
+    (true HBM cost) but its argmax is replaced by the given stream, so the
+    measured acceptance is the TRUE prompt-lookup hit rate on that stream
+    (e.g. a representative GCOT text) instead of an artifact of the loaded
+    weights. Output then equals the forced stream.
+
+    ``draft_ctx`` (optional [B, C] int32, -1 padded): extra tokens seeded
+    into the lookup history BEFORE the prompt — they are never attended or
+    emitted, they only feed drafting. In the closed robot loop the previous
+    frame's GCOT output is the natural context: consecutive frames decode
+    nearly identical text, so cross-frame lookup drafts get long accepts.
+    """
+    B, L = input_ids.shape
+    first_tok = forced[:, 0] if forced is not None else first_in
     # switch the cache to per-row cursors (continuous-batching path)
-    cache = dict(cache, len=jnp.full((B,), P, jnp.int32))
-    cur_pos = (positions[:, -1] + 1).astype(jnp.int32)             # [B]
+    F = cache["len"]
+    cache = dict(cache, len=jnp.broadcast_to(F, (B,)).astype(jnp.int32))
 
     K1 = k + 1
     C = 0 if draft_ctx is None else draft_ctx.shape[1]
@@ -207,6 +247,68 @@ def _generate_speculative(params, cfg: VLMConfig, input_ids, mask,
     return out[:, :max_new], steps, chk
 
 
+_spec_decode = partial(jax.jit, static_argnames=(
+    "cfg", "max_new", "eos_id", "attn_impl", "k"))(_spec_decode_impl)
+
+
+# Fused one-dispatch runners: on this image's remote-TPU relay every jitted
+# call carrying the 7B param tree costs ~28 ms of dispatch/marshaling
+# (measured with a no-op), so the engine issues ONE device call per frame.
+@partial(jax.jit, static_argnames=("cfg", "cache_len", "max_new", "eos_id",
+                                   "attn_impl", "k", "quantized_cache"))
+def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
+                   forced, draft_ctx, *, cache_len: int, max_new: int,
+                   eos_id: int, attn_impl: str = "xla", k: int = 8,
+                   quantized_cache: bool = False):
+    cache, first, cur_pos, patches = _spec_prefill_impl(
+        params, cfg, input_ids, mask, pixel_values, cache_len=cache_len,
+        attn_impl=attn_impl, quantized_cache=quantized_cache)
+    out, steps, chk = _spec_decode_impl(
+        params, cfg, input_ids, mask, cache, first, cur_pos, forced,
+        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
+    # pack steps + chk into the token array: every device->host fetch costs
+    # ~30 ms on the relay, so the engine reads everything in ONE transfer;
+    # chk rides along as a real output column so the teacher-forced
+    # forwards stay live (an algebraically-dead chk would be DCE'd)
+    B = out.shape[0]
+    steps_col = jnp.broadcast_to(steps.astype(jnp.int32), (B,))[:, None]
+    chk_col = jnp.broadcast_to(
+        jnp.round(chk % 1024.0).astype(jnp.int32), (B,))[:, None]
+    packed = jnp.concatenate([out, steps_col, chk_col], axis=1)
+    return packed, cache, cur_pos, patches
+
+
+@partial(jax.jit, static_argnames=("cfg", "t_tail", "max_new", "eos_id",
+                                   "attn_impl", "k"))
+def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
+                   prev_cur_pos, forced, draft_ctx, *, t_tail: int,
+                   max_new: int, eos_id: int, attn_impl: str = "xla",
+                   k: int = 8):
+    cache, first = _spec_tail_impl(
+        params, cfg, input_ids[:, -t_tail:], prev_cache, prev_cur_pos,
+        t_tail=t_tail, attn_impl=attn_impl)
+    out, steps, chk = _spec_decode_impl(
+        params, cfg, input_ids, mask, cache, first, prev_cur_pos, forced,
+        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
+    B = out.shape[0]
+    steps_col = jnp.broadcast_to(steps.astype(jnp.int32), (B,))[:, None]
+    chk_col = jnp.broadcast_to(
+        jnp.round(chk % 1024.0).astype(jnp.int32), (B,))[:, None]
+    packed = jnp.concatenate([out, steps_col, chk_col], axis=1)
+    return packed, cache, prev_cur_pos
+
+
+def _generate_speculative(params, cfg, input_ids, mask, pixel_values, forced,
+                          draft_ctx=None, *, max_new, cache_len, eos_id,
+                          attn_impl="xla", k=8, quantized_cache=False):
+    """One-dispatch composition (kept for tests/compat)."""
+    packed, _, _, _ = _spec_run_full(
+        params, cfg, input_ids, mask, pixel_values, forced, draft_ctx,
+        cache_len=cache_len, max_new=max_new, eos_id=eos_id,
+        attn_impl=attn_impl, k=k, quantized_cache=quantized_cache)
+    return packed[:, :-2], packed[0, -2], None
+
+
 class SpeculativeEngine(ServingEngine):
     """ServingEngine with prompt-lookup speculative greedy decoding.
 
@@ -214,38 +316,61 @@ class SpeculativeEngine(ServingEngine):
     identical to ``ServingEngine`` (temperature > 0 is not supported).
     ``last_steps`` after a call holds the verifier-forward count for
     acceptance-rate accounting.
+
+    ``prefix_tail`` (> 0) enables cross-frame prefix-KV reuse: when the
+    current call's patches come from a vision-cache hit AND the prompt
+    matches the previous call's except within its last ``prefix_tail``
+    tokens, only those tail slots are recomputed against the previous
+    frame's cache (``last_prefill`` = "full" | "tail" records which path
+    ran). The Emma-X closed-loop prompt only changes in the
+    ``CURRENT GRIPPER: [x, y]`` coordinates, which sit in the tail.
     """
 
-    def __init__(self, *args, draft_k: int = 8, **kwargs) -> None:
+    def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,
+                 **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
             raise ValueError("SpeculativeEngine is greedy-only")
         self.draft_k = draft_k
+        self.prefix_tail = prefix_tail
         self.last_steps: Optional[int] = None
+        self.last_prefill: Optional[str] = None
+        self._prefix = None   # {ids, mask, patches, cache, cur_pos}
+
+    def _prefix_reusable(self, ids, mask, vision_input) -> bool:
+        pre = self._prefix
+        t = self.prefix_tail
+        return (t > 0 and pre is not None
+                and "patches" in vision_input
+                and vision_input["patches"] is pre["patches"]
+                and pre["ids"].shape == ids.shape
+                and pre["cache_len"] == self._last_cache_len
+                and np.array_equal(pre["mask"], mask)
+                and np.array_equal(pre["ids"][:, :-t], ids[:, :-t])
+                and bool(mask[:, -t:].all()))   # tail fully valid tokens
 
     def generate_ids(self, prompts, pixel_values: Dict[str, jax.Array],
                      max_new_tokens: Optional[int] = None,
                      suffix_ids=(), forced_tokens=None,
-                     draft_context=None) -> np.ndarray:
+                     draft_context=None, frame_key=None) -> np.ndarray:
         """``forced_tokens`` ([B, T] or [T]): teacher-forced verifier stream
-        for acceptance benchmarking (see ``_generate_speculative``).
+        for acceptance benchmarking (see ``_spec_decode``).
 
         ``draft_context`` ([B, C] or [C]): draft-only token history seeded
         before the prompt — pass the previous closed-loop frame's output for
         cross-frame speculation. Padded to a 128 multiple (one executable
-        per size bucket)."""
+        per size bucket).
+
+        ``frame_key`` (host uint8 ndarray): raw camera frame used for the
+        vision-cache fingerprint. Without it the cache fingerprints the
+        DEVICE pixel arrays, which costs one ~30 ms relay fetch per tower
+        per frame — the robot loop always has the host frame available."""
         ids, mask = self._prepare(prompts, suffix_ids)
+        ids_np, mask_np = np.asarray(ids), np.asarray(mask)
         max_new = max_new_tokens or self.options.max_new_tokens
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new
                               + self.draft_k + 1)
-        ctx = None
-        if draft_context is not None:
-            ctx = np.asarray(draft_context, np.int32)
-            if ctx.ndim == 1:
-                ctx = np.tile(ctx[None], (len(prompts), 1))
-            C = _round_up(max(ctx.shape[1], 1))
-            pad = np.full((ctx.shape[0], C - ctx.shape[1]), -1, np.int32)
-            ctx = jnp.asarray(np.concatenate([ctx, pad], axis=1))
+        self._last_cache_len = cache_len
         forced = None
         if forced_tokens is not None:
             forced = np.asarray(forced_tokens, np.int32)
@@ -257,10 +382,47 @@ class SpeculativeEngine(ServingEngine):
                               self.options.eos_id, np.int32)
                 forced = np.concatenate([forced, pad], axis=1)
             forced = jnp.asarray(forced)
-        out, steps, _chk = _generate_speculative(
-            self.params, self.cfg, ids, mask, self._vision_input(pixel_values),
-            forced, ctx, max_new=max_new, cache_len=cache_len,
-            eos_id=self.options.eos_id, attn_impl=self.attn_impl,
-            k=self.draft_k, quantized_cache=self.quantized_cache)
-        self.last_steps = int(steps)
-        return np.asarray(out)
+        ctx = None
+        if draft_context is not None:
+            ctx = np.asarray(draft_context, np.int32)
+            if ctx.ndim == 1:
+                ctx = np.tile(ctx[None], (len(prompts), 1))
+            C = _round_up(max(ctx.shape[1], 1))
+            pad = np.full((ctx.shape[0], C - ctx.shape[1]), -1, np.int32)
+            ctx = jnp.asarray(np.concatenate([ctx, pad], axis=1))
+
+        # ONE device call per frame: prefill (or prefix tail refresh) and
+        # the decode loop are fused into a single jitted runner — the relay
+        # charges ~28 ms of dispatch per call carrying the param tree.
+        vc = self.vision_cache
+        fp = patches = None
+        if vc is not None and "patches" not in pixel_values                 and next(iter(pixel_values.values())).shape[0] == 1:
+            fp = vc.fingerprint(pixel_values)
+            patches = vc.lookup(fp)
+        vision = ({"patches": patches} if patches is not None
+                  else pixel_values)
+        if self._prefix_reusable(ids_np, mask_np, vision):
+            pre = self._prefix
+            packed, cache, cur_pos = _spec_run_tail(
+                self.params, self.cfg, ids, mask, pre["cache"],
+                pre["cur_pos"], forced, ctx, t_tail=self.prefix_tail,
+                max_new=max_new, eos_id=self.options.eos_id,
+                attn_impl=self.attn_impl, k=self.draft_k)
+            self.last_prefill = "tail"
+        else:
+            packed, cache, cur_pos, enc = _spec_run_full(
+                self.params, self.cfg, ids, mask, vision, forced, ctx,
+                cache_len=cache_len, max_new=max_new,
+                eos_id=self.options.eos_id, attn_impl=self.attn_impl,
+                k=self.draft_k, quantized_cache=self.quantized_cache)
+            self.last_prefill = "full"
+            if patches is None and fp is not None:
+                vc.store(fp, enc)
+                patches = enc
+        if self.prefix_tail > 0 and patches is not None:
+            self._prefix = {"ids": ids_np, "mask": mask_np,
+                            "patches": patches, "cache": cache,
+                            "cur_pos": cur_pos, "cache_len": cache_len}
+        fetched = np.asarray(packed)   # ONE device->host transfer
+        self.last_steps = int(fetched[0, -2])
+        return fetched[:, :-2]

@@ -255,3 +255,47 @@ def test_draft_context_cross_frame_acceptance(setup):
     # identical previous output => near-full acceptance
     assert steps_warm < steps_cold
     assert steps_warm <= (n + 4) // 5 + 2
+
+
+def test_prefix_kv_reuse_token_parity(setup):
+    """Closed-loop frames with identical patches + prompt prefix: the
+    tail-refresh path must produce exactly the tokens of a full prefill."""
+    from emmax_tpu.serving.engine import VisionCache
+
+    cfg, params, tok = setup
+    pixels = _pixels(cfg, np.random.default_rng(11), 1)
+    n = 16
+
+    def prompt(x, y):
+        return ("In: What action should the robot take\nINSTRUCTION: \n"
+                f"pick up the cup\nCURRENT GRIPPER: [{x:03d}, {y:03d}]\nOut:")
+
+    # reference: fresh engine, full prefill each frame
+    ref_eng = SpeculativeEngine(cfg, params, tok,
+                                options=GenerateOptions(eos_id=tok.eos_id),
+                                draft_k=4)
+    ref1 = ref_eng.generate_ids([prompt(104, 98)], pixels, max_new_tokens=n)
+    ref2 = ref_eng.generate_ids([prompt(112, 96)], pixels, max_new_tokens=n)
+
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            draft_k=4, prefix_tail=16,
+                            vision_cache=VisionCache(threshold=0.0))
+    out1 = eng.generate_ids([prompt(104, 98)], pixels, max_new_tokens=n)
+    assert eng.last_prefill == "full"
+    out2 = eng.generate_ids([prompt(112, 96)], pixels, max_new_tokens=n)
+    assert eng.last_prefill == "tail"   # same prefix, coords in the tail
+    np.testing.assert_array_equal(out1, ref1)
+    np.testing.assert_array_equal(out2, ref2)
+
+    # a prefix-divergent prompt must fall back to a full prefill
+    out3 = eng.generate_ids(
+        ["In: What action should the robot take\nINSTRUCTION: \n"
+         "wipe the table please\nCURRENT GRIPPER: [104, 098]\nOut:"],
+        pixels, max_new_tokens=n)
+    assert eng.last_prefill == "full"
+    ref3 = ref_eng.generate_ids(
+        ["In: What action should the robot take\nINSTRUCTION: \n"
+         "wipe the table please\nCURRENT GRIPPER: [104, 098]\nOut:"],
+        pixels, max_new_tokens=n)
+    np.testing.assert_array_equal(out3, ref3)

@@ -225,3 +225,37 @@ def test_speculative_vla_same_actions(vla):
     p_spec = spec_vla.predict_action(frame, "Pick Up The Fork",
                                      unnorm_key="bridge_orig")
     np.testing.assert_allclose(p_spec, p_ref)
+
+
+def test_closed_loop_speculative_vla_matches_plain():
+    """EmmaXVLA(speculative=True, closed_loop=True) — vision cache +
+    cross-frame drafts + prefix tail — produces the same text as the plain
+    engine across consecutive frames."""
+    import jax
+
+    from emmax_tpu.models.vla import EmmaXVLA
+    from emmax_tpu.models.vlm import init_vlm_params, tiny_vlm_config
+    from emmax_tpu.ops.image import ImageTransformConfig
+    from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
+
+    cfg = tiny_vlm_config(512)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteLevelTokenizer(512)
+    transforms = {n: ImageTransformConfig(size=v.img_size)
+                  for n, v in cfg.vision}
+    plain = EmmaXVLA(cfg, params, tok, transforms)
+    fast = EmmaXVLA(cfg, params, tok, transforms, speculative=True,
+                    draft_k=4, closed_loop=True, prefix_tail=16)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    def prompt(x):
+        return ("In: What action should the robot take\nINSTRUCTION: \n"
+                f"pick\nCURRENT GRIPPER: [{x:03d}, 098]\nOut:")
+
+    for f in range(3):
+        ref = plain.generate(frame, prompt(100 + f), max_new_tokens=12)
+        got = fast.generate(frame, prompt(100 + f), max_new_tokens=12)
+        assert got == ref, f
+    assert fast.engine.last_prefill == "tail"
+    assert fast.engine.vision_cache.hits >= 2
