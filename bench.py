@@ -256,7 +256,31 @@ def main():
         extras["vision_cache_hits"] = vc.hits
         extras["vision_cache_misses"] = vc.misses
         extras["closedloop_prefills"] = prefills
-        del engine_q4, q4params, spec_cl
+        del spec_cl
+
+        # paged-KV continuous batching: 6 concurrent requests share a page
+        # pool holding FEWER token-slots than the dense per-slot reservation
+        # (capacity win), decoded in jitted bursts
+        from emmax_tpu.serving.paged import PagedServingEngine
+
+        paged = PagedServingEngine(cfg, q4params, tok, num_slots=6,
+                                   n_pages=34, page_size=128,
+                                   max_pages_per_slot=8, burst=16)
+        for i in range(6):
+            paged.submit(prompt, pixels, max_new_tokens=64)
+        paged.run_until_complete()          # warmup/compile
+        t0 = time.perf_counter()
+        paged2 = PagedServingEngine(cfg, q4params, tok, num_slots=6,
+                                    n_pages=34, page_size=128,
+                                    max_pages_per_slot=8, burst=16)
+        for i in range(6):
+            paged2.submit(prompt, pixels, max_new_tokens=64)
+        done = paged2.run_until_complete()
+        t_paged = time.perf_counter() - t0
+        total_toks = sum(len(v) for v in done.values())
+        extras["paged_6req_agg_tok_s"] = round(total_toks / t_paged, 1)
+        extras["paged_pool_token_slots"] = 34 * 128
+        del engine_q4, q4params, paged, paged2
     except Exception as e:  # pragma: no cover
         extras["int4_error"] = str(e)[:120]
 

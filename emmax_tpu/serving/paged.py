@@ -69,9 +69,9 @@ def init_paged_pool(cfg, *, n_pages: int, page_size: int, num_slots: int,
     }
 
 
-@partial(jax.jit, static_argnames=("llm_cfg", "page_size"))
-def _paged_decode_step(llm_params, llm_cfg, pool, *, page_size: int):
-    """One greedy token for every active slot, K/V in pages."""
+def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int):
+    """One greedy token for every active slot, K/V in pages (trace-level
+    body shared by the jitted single step and the burst scan)."""
     B, MP = pool["page_table"].shape
     t = pool["len"]                                    # [B] cursors
     positions = t[:, None]
@@ -125,6 +125,42 @@ def _paged_decode_step(llm_params, llm_cfg, pool, *, page_size: int):
     logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)
     nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
     return dict(pool, k=k_pages, v=v_pages), nxt
+
+
+_paged_decode_step = partial(jax.jit, static_argnames=(
+    "llm_cfg", "page_size"))(_paged_step_body)
+
+
+@partial(jax.jit, static_argnames=("llm_cfg", "page_size", "burst",
+                                   "eos_id"))
+def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
+                        burst: int, eos_id: int):
+    """``burst`` greedy tokens for all active slots inside ONE jitted scan
+    (one dispatch + one fetch per burst — the remote-TPU relay charges
+    ~28 ms per call and ~30 ms per fetch, so per-token stepping is
+    dispatch-bound). The caller must pre-allocate pages covering
+    ``len + burst`` for every active slot. Returns (pool, emitted
+    [B, burst] — eos-padded for inactive rows)."""
+
+    def step(carry, _):
+        pool = carry
+        active = pool["active"]
+        cur = pool["cur"]
+        new_pool, nxt = _paged_step_body(llm_params, llm_cfg, pool,
+                                         page_size=page_size)
+        emitted = jnp.where(active, cur, eos_id)
+        remaining = jnp.where(active, pool["remaining"] - 1,
+                              pool["remaining"])
+        nxt_active = active & (cur != eos_id) & (remaining > 0)
+        pool = dict(new_pool,
+                    len=jnp.where(nxt_active, pool["len"] + 1, pool["len"]),
+                    cur=jnp.where(nxt_active, nxt, cur),
+                    remaining=remaining,
+                    active=nxt_active)
+        return pool, emitted
+
+    pool, emitted = jax.lax.scan(step, pool, None, length=burst)
+    return pool, emitted.T
 
 
 @partial(jax.jit, static_argnames=("cfg", "scratch_len", "attn_impl"))
@@ -194,7 +230,8 @@ class PagedServingEngine:
 
     def __init__(self, cfg: VLMConfig, params, tokenizer, *,
                  num_slots: int = 8, n_pages: int = 64, page_size: int = 64,
-                 max_pages_per_slot: int = 16, attn_impl: str = "xla") -> None:
+                 max_pages_per_slot: int = 16, attn_impl: str = "xla",
+                 burst: int = 8) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -203,6 +240,7 @@ class PagedServingEngine:
         self.n_pages = n_pages
         self.max_pages_per_slot = max_pages_per_slot
         self.attn_impl = attn_impl
+        self.burst = burst
         compute_dtype = params["llm"]["embed"].dtype
         self.pool = init_paged_pool(
             cfg, n_pages=n_pages, page_size=page_size, num_slots=num_slots,
@@ -259,12 +297,13 @@ class PagedServingEngine:
             req.n_pages = n0
             self.running[slot] = req
 
-    def _ensure_pages(self, lens: np.ndarray) -> bool:
-        """Grow page tables for slots whose next token crosses a page
-        boundary. Returns False if the pool is exhausted."""
+    def _ensure_pages(self, lens: np.ndarray, headroom: int = 1) -> bool:
+        """Grow page tables so every running slot can write ``headroom``
+        more tokens. Returns False if the pool is exhausted."""
         for slot, req in self.running.items():
-            needed = int(lens[slot]) // self.page_size + 1
-            if needed > req.n_pages:
+            needed = (int(lens[slot]) + headroom - 1) // self.page_size + 1
+            needed = min(needed, self.max_pages_per_slot)
+            while req.n_pages < needed:
                 if not self.free_pages:
                     return False
                 page = self.free_pages.pop(0)
@@ -275,51 +314,35 @@ class PagedServingEngine:
         return True
 
     def step(self) -> List[Tuple[int, List[int]]]:
+        """Admit + one jitted ``burst``-token decode scan (one dispatch +
+        one fetch per burst; per-token stepping is relay-dispatch-bound)."""
         self._admit()
         if not self.running:
             return []
         lens = np.asarray(self.pool["len"])
-        if not self._ensure_pages(lens):
+        if not self._ensure_pages(lens, headroom=self.burst):
             raise RuntimeError("page pool exhausted mid-decode; add pages "
                                "or lower num_slots")
-        active = np.asarray(self.pool["active"])
-        self.pool, nxt = _paged_decode_step(self.params["llm"], self.cfg.llm,
-                                            self.pool,
-                                            page_size=self.page_size)
-        nxt = np.asarray(nxt)
-        cur = np.asarray(self.pool["cur"])
+        self.pool, emitted = _paged_decode_burst(
+            self.params["llm"], self.cfg.llm, self.pool,
+            page_size=self.page_size, burst=self.burst,
+            eos_id=self.tokenizer.eos_id)
+        emitted = np.asarray(emitted)
+        active_after = np.asarray(self.pool["active"])
         done_now = []
-        new_cur = np.array(cur)
-        new_len = np.array(lens)
-        new_active = np.array(active)
-        remaining = np.array(self.pool["remaining"])  # writable copy
         for slot, req in list(self.running.items()):
-            if not active[slot]:
-                continue
-            tok = int(cur[slot])
-            req.tokens.append(tok)
-            remaining[slot] -= 1
-            finished = (tok == self.tokenizer.eos_id
-                        or remaining[slot] <= 0)
-            if finished:
-                if req.tokens and req.tokens[-1] == self.tokenizer.eos_id:
-                    req.tokens.pop()
-                new_active[slot] = False
+            for tok in emitted[slot]:
+                tok = int(tok)
+                if tok == self.tokenizer.eos_id:
+                    break
+                req.tokens.append(tok)
+            if not active_after[slot]:
                 self.finished[req.request_id] = req.tokens[:req.max_new_tokens]
                 done_now.append((req.request_id,
                                  self.finished[req.request_id]))
-                # return pages to the pool
                 table = np.asarray(self.pool["page_table"][slot])
                 self.free_pages.extend(int(p) for p in table if p >= 0)
                 del self.running[slot]
-            else:
-                new_cur[slot] = int(nxt[slot])
-                new_len[slot] = lens[slot] + 1
-        self.pool = dict(self.pool,
-                         cur=jnp.asarray(new_cur),
-                         len=jnp.asarray(new_len),
-                         active=jnp.asarray(new_active),
-                         remaining=jnp.asarray(remaining))
         return done_now
 
     def run_until_complete(self, max_steps: int = 2000) -> Dict[int, List[int]]:
