@@ -447,3 +447,202 @@ def test_mixed_modality_fusion_parity(ref):
                                   captured["labels"])
     np.testing.assert_array_equal(np.asarray(our_embeds)[perm],
                                   captured["embeds"])
+
+
+def test_end_to_end_forward_parity_with_real_llama(ref):
+    """Reference PrismaticVLM.forward with a REAL tiny HF Llama backbone vs
+    our vlm path with converted weights: fused-sequence logits and loss
+    match end to end (fusion + attention masking + HF label shifting)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    from emmax_tpu.models.convert import convert_hf_llama
+    from emmax_tpu.models.llama import (IGNORE_INDEX, LlamaConfig,
+                                        cross_entropy_loss, embed_tokens,
+                                        llama_forward)
+    from emmax_tpu.models.vlm import fuse_multimodal
+
+    cfg = LlamaConfig(vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                      n_kv_heads=2, hidden_dim=64, max_seq_len=64)
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim,
+        num_hidden_layers=cfg.n_layers, num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads, intermediate_size=cfg.hidden_dim,
+        max_position_embeddings=cfg.max_seq_len, rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    import jax
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_hf_llama(hf.state_dict(), cfg))
+
+    B, L, P = 2, 9, 3
+    rng = np.random.default_rng(0)
+    input_ids = rng.integers(3, cfg.vocab_size, size=(B, L))
+    input_ids[:, 0] = 1
+    attention_mask = np.ones((B, L), dtype=bool)
+    attention_mask[1, 7:] = False
+    labels = input_ids.copy()
+    labels[:, 0] = IGNORE_INDEX
+    labels[~attention_mask] = IGNORE_INDEX
+    patches = rng.normal(scale=0.02, size=(B, P, cfg.dim)).astype(np.float32)
+
+    class StubVision(nn.Module):
+        def forward(self, pixel_values):
+            return torch.as_tensor(patches)
+
+    class StubProjector(nn.Module):
+        def forward(self, feats):
+            return feats
+
+    class RealLLM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.hf = hf
+
+        def embed_input_ids(self, ids):
+            return self.hf.get_input_embeddings()(ids)
+
+        def forward(self, input_ids=None, attention_mask=None,
+                    position_ids=None, past_key_values=None,
+                    inputs_embeds=None, labels=None, **kw):
+            return self.hf(input_ids=input_ids,
+                           attention_mask=attention_mask,
+                           inputs_embeds=inputs_embeds, labels=labels)
+
+    vlm = object.__new__(ref.prismatic.PrismaticVLM)
+    nn.Module.__init__(vlm)
+    vlm.vision_backbone = StubVision()
+    vlm.projector = StubProjector()
+    vlm.llm_backbone = RealLLM()
+    vlm.vision_backbone_requires_grad = False
+    with torch.no_grad():
+        ref_out = vlm.forward(
+            input_ids=torch.as_tensor(input_ids),
+            attention_mask=torch.as_tensor(attention_mask),
+            pixel_values=torch.as_tensor(np.zeros((B, 3, 4, 4), np.float32)),
+            labels=torch.as_tensor(labels))
+
+    embeds, fmask, flabels, positions = fuse_multimodal(
+        jnp.asarray(patches), embed_tokens(params, jnp.asarray(input_ids)),
+        jnp.asarray(attention_mask), jnp.asarray(labels))
+    logits, _ = llama_forward(params, cfg, embeds, mask=fmask,
+                              positions=positions)
+    loss = cross_entropy_loss(logits, flabels)
+
+    # compare only VALID fused positions: for right-pad slots HF uses
+    # arange position ids while we use mask-aware positions — pad logits
+    # are masked out of the loss on both sides and never consumed
+    valid = np.asarray(fmask)[..., None]
+    np.testing.assert_allclose(np.asarray(logits) * valid,
+                               ref_out.logits.numpy() * valid,
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(float(loss), float(ref_out.loss),
+                               atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------- OXE transform parity
+
+def _tf():
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+def _run_both(ref, name, make_traj):
+    """Run the reference and our standardize fns on IDENTICAL synthetic
+    trajectories (inside tf.data graph mode, the real context). The traj is
+    built once; both fns map over fresh tensor copies of it."""
+    import copy
+    import importlib
+
+    tf = _tf()
+    ref_transforms = importlib.import_module(
+        "prismatic.vla.datasets.rlds.oxe.transforms")
+    from emmax_tpu.data import oxe as our_oxe
+
+    ref_fn = ref_transforms.OXE_STANDARDIZATION_TRANSFORMS[name]
+    our_fn = our_oxe.OXE_STANDARDIZATION_TRANSFORMS[name]
+    traj = make_traj()
+    outs = []
+    for fn in (ref_fn, our_fn):
+        ds = tf.data.Dataset.from_tensors(copy.deepcopy(traj)).map(fn)
+        outs.append(next(iter(ds.as_numpy_iterator())))
+    return outs
+
+
+@pytest.mark.parametrize("name", ["fractal20220817_data", "jaco_play", "taco_play",
+                                  "berkeley_autolab_ur5", "bridge_oxe"])
+def test_oxe_transform_parity(ref, name):
+    tf = _tf()
+    rng = np.random.default_rng(3)
+    T = 6
+
+    def base_action():
+        return {
+            "world_vector": tf.constant(rng.normal(size=(T, 3)), tf.float32),
+            "rotation_delta": tf.constant(rng.normal(size=(T, 3)),
+                                          tf.float32),
+            "gripper_closedness_action": tf.constant(
+                [[0.0], [1.0], [0.0], [-1.0], [0.0], [1.0]], tf.float32),
+        }
+
+    def make_traj():
+        lang = tf.constant([b"pick up the block"] * T)
+        if name == "fractal20220817_data":
+            return {"action": base_action(),
+                    "observation": {
+                        "natural_language_instruction": lang}}
+        if name == "jaco_play":
+            return {"action": base_action(),
+                    "observation": {
+                        "natural_language_instruction": lang,
+                        "end_effector_cartesian_pos": tf.constant(
+                            rng.normal(size=(T, 7)), tf.float32)}}
+        if name == "taco_play":
+            return {"action": {"rel_actions_world": tf.constant(
+                        rng.normal(size=(T, 7)), tf.float32)},
+                    "observation": {
+                        "natural_language_instruction": lang,
+                        "robot_obs": tf.constant(rng.normal(size=(T, 15)),
+                                                 tf.float32)}}
+        if name == "berkeley_autolab_ur5":
+            act = base_action()
+            act["gripper_closedness_action"] = tf.constant(
+                [0.0, 1.0, 0.0, -1.0, 0.0, 1.0], tf.float32)
+            return {"action": act,
+                    "observation": {
+                        "natural_language_instruction": lang,
+                        "robot_state": tf.constant(rng.normal(size=(T, 15)),
+                                                   tf.float32),
+                        "image_with_depth": tf.constant(
+                            rng.normal(size=(T, 4, 4, 1)), tf.float32)}}
+        if name == "bridge_oxe":
+            act = base_action()
+            act.pop("gripper_closedness_action")
+            act["open_gripper"] = tf.constant([True, True, False, False,
+                                               True, True])
+            return {"action": act,
+                    "observation": {
+                        "natural_language_instruction": lang,
+                        "state": tf.constant(rng.normal(size=(T, 7)),
+                                             tf.float32)},
+                    "traj_metadata": {"episode_id": tf.constant([7] * T)}}
+        raise KeyError(name)
+
+    ref_out, our_out = _run_both(ref, name, make_traj)
+    np.testing.assert_allclose(our_out["action"], ref_out["action"],
+                               atol=1e-6, err_msg=name)
+    np.testing.assert_array_equal(our_out["language_instruction"],
+                                  ref_out["language_instruction"])
+    for key in ("EEF_state", "gripper_state", "state_eef", "state_gripper",
+                "state"):
+        if key in ref_out.get("observation", {}):
+            assert key in our_out["observation"], (name, key)
+            np.testing.assert_allclose(our_out["observation"][key],
+                                       ref_out["observation"][key],
+                                       atol=1e-6, err_msg=(name, key))
