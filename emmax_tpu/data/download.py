@@ -70,3 +70,27 @@ def mix_instruct_datasets(base_json, extra_jsons: Sequence, out_json,
     Path(out_json).write_text(json.dumps(examples))
     overwatch.info(f"mixed {len(examples)} examples -> {out_json}")
     return len(examples)
+
+
+def convert_to_jpg(image_dir) -> None:
+    """OCR-VQA image normalization: convert every GIF/PNG in ``image_dir``
+    to JPG (reference ``preprocessing/download.py:109-124``; first GIF frame,
+    RGB). Existing jpgs (or already-converted stems) are skipped."""
+    from PIL import Image
+
+    image_dir = Path(image_dir)
+    overwatch.info(f"Converting all images in `{image_dir}` to JPG")
+    for image_fn in sorted(image_dir.iterdir()):
+        if image_fn.suffix in {".jpg", ".jpeg"}:
+            continue
+        jpg_fn = image_dir / f"{image_fn.stem}.jpg"
+        if jpg_fn.exists():
+            continue
+        if image_fn.suffix == ".gif":
+            gif = Image.open(image_fn)
+            gif.seek(0)
+            gif.convert("RGB").save(jpg_fn)
+        elif image_fn.suffix == ".png":
+            Image.open(image_fn).convert("RGB").save(jpg_fn)
+        else:
+            raise ValueError(f"Unexpected image format `{image_fn.suffix}`")

@@ -101,3 +101,25 @@ def test_monitor_folder_sweep(tmp_path):
     assert removed == 2
     remaining = list(tmp_path.iterdir())
     assert len(remaining) == 1
+
+
+def test_convert_to_jpg(tmp_path):
+    from PIL import Image
+
+    from emmax_tpu.data.download import convert_to_jpg
+
+    d = tmp_path / "images"
+    d.mkdir()
+    Image.new("RGB", (4, 4), (255, 0, 0)).save(d / "a.png")
+    Image.new("P", (4, 4)).save(d / "b.gif")
+    Image.new("RGB", (4, 4), (0, 255, 0)).save(d / "c.jpg")
+    convert_to_jpg(d)
+    assert (d / "a.jpg").exists() and (d / "b.jpg").exists()
+    assert Image.open(d / "a.jpg").size == (4, 4)
+    # idempotent
+    convert_to_jpg(d)
+    # unexpected formats raise (reference behavior)
+    (d / "x.bmp").write_bytes(b"")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Unexpected image format"):
+        convert_to_jpg(d)
