@@ -150,6 +150,25 @@ def run_closed_loop(vla, env: RobotEnv, instruction: str, *,
             overwatch.error(f"generate_actions failed: {e}")
             break
         log.texts.append(text)
+        if action_type == "pos" and hasattr(env, "move"):
+            # position mode: ONE absolute move per decode — predicted
+            # Δposition added to the current EE pose with rotation zeroed,
+            # gripper commanded absolutely
+            # (run_bridgev2_position_eval.py:161-179)
+            from emmax_tpu.experiments.transforms3d import (mat_to_pose6,
+                                                            pose6_to_mat)
+
+            delta = np.asarray(actions[0], np.float64)
+            eef = obs.get("eef_transform")
+            current = (mat_to_pose6(np.asarray(eef)) if eef is not None
+                       else np.zeros(6))
+            current[3:] = 0          # rotation/gripper taken absolutely
+            goal = pose6_to_mat(delta[:6] + current)
+            env.move(goal, float(delta[-1]), duration=3)
+            log.frames.append(image)
+            log.actions.append(delta)
+            t += 1
+            continue
         for action in actions:
             if t >= max_steps:
                 break

@@ -96,3 +96,20 @@ def pose_to_mat(xyz: np.ndarray, quat: np.ndarray) -> np.ndarray:
 def mat_to_pose(T: np.ndarray):
     """4x4 transform → (xyz, quaternion) (``tf_transformation.py:233``)."""
     return T[:3, 3].copy(), mat_to_quat(T[:3, :3])
+
+
+def pose6_to_mat(pose) -> np.ndarray:
+    """6-vector [x, y, z, roll, pitch, yaw] → 4x4 transform (the reference
+    eval convention, ``tf_transformation.py:123-129``)."""
+    pose = np.asarray(pose, np.float64)
+    T = np.eye(4)
+    T[:3, :3] = euler_to_mat(pose[3], pose[4], pose[5])
+    T[:3, 3] = pose[:3]
+    return T
+
+
+def mat_to_pose6(T: np.ndarray) -> np.ndarray:
+    """4x4 transform → 6-vector [x, y, z, roll, pitch, yaw]
+    (``tf_transformation.py:233-239``)."""
+    roll, pitch, yaw = mat_to_euler(np.asarray(T)[:3, :3])
+    return np.concatenate([np.asarray(T)[:3, 3], [roll, pitch, yaw]])

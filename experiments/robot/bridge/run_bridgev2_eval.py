@@ -96,6 +96,10 @@ class DummyEnv:
     def step(self, action):
         self.executed.append(np.asarray(action))
 
+    def move(self, goal_mat, gripper, duration=1):
+        # pos-mode absolute move (dummy_bridgev2_position_eval.py role)
+        self.executed.append(("move", np.asarray(goal_mat), gripper))
+
 
 def main(cfg: BridgeEvalConfig) -> None:
     if cfg.smoke_test:

@@ -287,3 +287,51 @@ def test_kinematic_sim_grasp_and_render_contract():
                               init_noise=0.0)
     obs_r, _ = env_r.reset()
     np.testing.assert_array_equal(obs2["image"], obs_r["image"])
+
+
+def test_pose6_roundtrip():
+    from emmax_tpu.experiments.transforms3d import mat_to_pose6, pose6_to_mat
+
+    pose = np.array([0.3, -0.1, 0.15, 0.2, -0.4, 1.1])
+    back = mat_to_pose6(pose6_to_mat(pose))
+    np.testing.assert_allclose(back, pose, atol=1e-9)
+
+
+def test_run_closed_loop_pos_mode_issues_absolute_move():
+    """type="pos": ONE absolute env.move per decode, goal = Δposition +
+    current EE pose with rotation zeroed (run_bridgev2_position_eval.py:
+    161-179)."""
+    from emmax_tpu.experiments.policy import run_closed_loop
+    from emmax_tpu.experiments.transforms3d import mat_to_pose6, pose6_to_mat
+
+    delta = np.array([0.01, -0.02, 0.03, 0.0, 0.0, 0.0, 0.9])
+
+    class FakeVLA:
+        def generate_actions(self, image, prompt, type="act",
+                             max_new_tokens=512):
+            assert type == "pos"
+            return [delta], "MOVEMENT: ..."
+
+    eef = pose6_to_mat([0.3, 0.0, 0.15, 0.1, 0.2, 0.3])
+    moves = []
+
+    class FakeEnv:
+        def get_observation(self):
+            return {"full_image": np.zeros((8, 8, 3), np.uint8),
+                    "eef_transform": eef}
+
+        def move(self, goal_mat, gripper, duration=1):
+            moves.append((np.asarray(goal_mat), gripper))
+
+        def step(self, action):
+            raise AssertionError("pos mode must not use step()")
+
+    log = run_closed_loop(FakeVLA(), FakeEnv(), "reach", max_steps=2,
+                          action_type="pos")
+    assert len(moves) == 2 and len(log.actions) == 2
+    goal_pose = mat_to_pose6(moves[0][0])
+    # rotation zeroed: goal = delta[:3] + current xyz, euler = delta euler
+    np.testing.assert_allclose(goal_pose[:3],
+                               [0.31, -0.02, 0.18], atol=1e-9)
+    np.testing.assert_allclose(goal_pose[3:], 0.0, atol=1e-9)
+    assert moves[0][1] == 0.9
