@@ -160,7 +160,10 @@ def main():
                            "decode_tok_s": 1.0 / per_tok_4}
         extras["int4_decode_tok_s"] = round(1.0 / per_tok_4, 1)
         extras["int4_prefill_ms"] = round(results["int4"]["prefill_s"] * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extras["int4_error"] = str(e)[:120]
 
+    try:
         # --- measured closed-loop serving path: int4 weights + cross-frame
         # vision cache + speculative decode verified against a TEACHER-FORCED
         # representative GCOT stream. Every verifier forward still runs (true
@@ -194,7 +197,10 @@ def main():
             return ids[:DECODE_TOKENS]
 
         FRAMES = 8
-        vc = VisionCache(capacity=4, threshold=0.02)
+        # threshold 0.05: consecutive frames (~0.008 normalized drift at
+        # this episode's scene evolution) reuse vision; larger scene jumps
+        # re-encode. frame_key keys the cache on the HOST camera frame.
+        vc = VisionCache(capacity=4, threshold=0.05)
         # k=12 measured best for the cross-frame-drafted closed loop (fewer
         # verifier steps at slightly costlier chunks: 27.5 vs 24.3 Hz warm)
         spec_cl = SpeculativeEngine(cfg, q4params, tok, options=opts,
@@ -282,7 +288,7 @@ def main():
         extras["paged_pool_token_slots"] = 34 * 128
         del engine_q4, q4params, paged, paged2
     except Exception as e:  # pragma: no cover
-        extras["int4_error"] = str(e)[:120]
+        extras["closedloop_error"] = str(e)[:120]
 
     assert results, "no benchmark variant succeeded"
     best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])

@@ -155,9 +155,12 @@ _MODELS: Dict[str, Dict] = {
                                      llm_backbone_id="mistral-v0.1-7b-instruct",
                                      arch_specifier="no-align+gelu-mlp",
                                      image_resize_strategy="letterbox", finetune_epochs=1),
-    "phi-2+3b": dict(vision_backbone_id="dinosiglip-vit-so-224px",
+    # reference Ext_Exp_3B_Phi_2 inherits Exp_7B_One_Stage
+    # (models.py:287-289): CLIP-336 tower, no-align+gelu-mlp, letterbox
+    "phi-2+3b": dict(vision_backbone_id="clip-vit-l-336px",
                      llm_backbone_id="phi-2-3b",
-                     arch_specifier="no-align+fused-gelu-mlp", finetune_epochs=1),
+                     arch_specifier="no-align+gelu-mlp",
+                     image_resize_strategy="letterbox", finetune_epochs=1),
     # Co-training ablations (run with multimodal-only data mixes;
     # reference models.py:295-305)
     "vicuna-no-cotraining+7b": dict(

@@ -172,8 +172,14 @@ def run_closed_loop(vla, env: RobotEnv, instruction: str, *,
         for action in actions:
             if t >= max_steps:
                 break
-            env.step(np.asarray(action))
+            res = env.step(np.asarray(action))
             log.frames.append(image)
             log.actions.append(np.asarray(action))
             t += 1
+            # gym-shaped envs signal lost server connection via truncated
+            # (widowx_env.py:103-108) — end the episode instead of issuing
+            # the rest of the chunk to a dead server
+            if isinstance(res, tuple) and len(res) >= 4 and res[3]:
+                overwatch.warning("episode truncated (connection lost)")
+                return log
     return log

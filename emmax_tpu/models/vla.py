@@ -58,6 +58,7 @@ class EmmaXVLA:
         draft_k: int = 12,
         closed_loop: bool = True,
         prefix_tail: int = 24,
+        vision_cache_threshold: float = 0.0,
     ) -> None:
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -74,6 +75,10 @@ class EmmaXVLA:
             # cross-frame serving stack: VisionCache (patch reuse),
             # prefix-KV tail refresh, and drafts seeded from the previous
             # frame's output (generate_actions threads these automatically).
+            # With the default vision_cache_threshold=0.0 only
+            # byte-identical frames reuse vision (output stays exact); a
+            # positive threshold trades slightly-stale patch embeddings for
+            # skipping the towers on near-identical frames.
             from emmax_tpu.serving.engine import VisionCache
             from emmax_tpu.serving.speculative import SpeculativeEngine
 
@@ -81,7 +86,8 @@ class EmmaXVLA:
                 cfg, params, tokenizer, options=options,
                 attn_impl=attn_impl, draft_k=draft_k,
                 prefix_tail=prefix_tail if closed_loop else 0,
-                vision_cache=(VisionCache(capacity=4, threshold=0.02)
+                vision_cache=(VisionCache(capacity=4,
+                                          threshold=vision_cache_threshold)
                               if closed_loop else None))
         else:
             self.engine = ServingEngine(cfg, params, tokenizer,
@@ -119,7 +125,9 @@ class EmmaXVLA:
         """Free-form text generation for one frame (reference
         ``prismatic.py:597-625``). In closed-loop speculative mode the raw
         frame keys the vision cache and the previous frame's output seeds
-        cross-frame drafts (exact greedy output either way)."""
+        cross-frame drafts (greedy output is exact at the default
+        vision_cache_threshold=0.0; a positive threshold may reuse patch
+        embeddings from a near-identical earlier frame)."""
         if self._closed_loop:
             frame = _as_uint8_array(image)
             out = self.engine.generate_ids(

@@ -132,6 +132,10 @@ class VisionCache:
 
     def lookup(self, fp: np.ndarray):
         for cached_fp, patches in reversed(self.entries):
+            # fingerprints of different shape (host vs device keying, or a
+            # changed camera resolution) can never match
+            if cached_fp.shape != fp.shape:
+                continue
             if np.mean(np.abs(cached_fp - fp)) <= self.threshold:
                 self.hits += 1
                 return patches

@@ -263,6 +263,10 @@ class PagedServingEngine:
                 f"request needs {need_pages} pages (> max_pages_per_slot="
                 f"{self.max_pages_per_slot}); raise it or shorten the "
                 "prompt/max_new_tokens")
+        if need_pages > self.n_pages:
+            raise ValueError(
+                f"request needs {need_pages} pages but the pool only holds "
+                f"{self.n_pages} — it could never be admitted")
         self.queue.append(_Request(rid, ids, pixel_values, max_new_tokens))
         return rid
 
@@ -297,10 +301,14 @@ class PagedServingEngine:
             req.n_pages = n0
             self.running[slot] = req
 
-    def _ensure_pages(self, lens: np.ndarray, headroom: int = 1) -> bool:
-        """Grow page tables so every running slot can write ``headroom``
-        more tokens. Returns False if the pool is exhausted."""
+    def _ensure_pages(self, lens: np.ndarray) -> bool:
+        """Grow page tables so every running slot can write its next burst
+        (capped at its remaining token budget — a nearly-finished slot must
+        not demand pages it will never write). Returns False only if the
+        pool is genuinely exhausted."""
+        remaining = np.asarray(self.pool["remaining"])
         for slot, req in self.running.items():
+            headroom = max(1, min(self.burst, int(remaining[slot])))
             needed = (int(lens[slot]) + headroom - 1) // self.page_size + 1
             needed = min(needed, self.max_pages_per_slot)
             while req.n_pages < needed:
@@ -320,7 +328,7 @@ class PagedServingEngine:
         if not self.running:
             return []
         lens = np.asarray(self.pool["len"])
-        if not self._ensure_pages(lens, headroom=self.burst):
+        if not self._ensure_pages(lens):
             raise RuntimeError("page pool exhausted mid-decode; add pages "
                                "or lower num_slots")
         self.pool, emitted = _paged_decode_burst(

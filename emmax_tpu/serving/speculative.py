@@ -396,8 +396,12 @@ class SpeculativeEngine(ServingEngine):
         # charges ~28 ms of dispatch per call carrying the param tree.
         vc = self.vision_cache
         fp = patches = None
-        if vc is not None and "patches" not in pixel_values                 and next(iter(pixel_values.values())).shape[0] == 1:
-            fp = vc.fingerprint(pixel_values)
+        if (vc is not None and "patches" not in pixel_values
+                and next(iter(pixel_values.values())).shape[0] == 1):
+            # prefer the host frame key: device fingerprints cost one ~30 ms
+            # relay fetch per tower per frame
+            fp = (vc.fingerprint_host(frame_key) if frame_key is not None
+                  else vc.fingerprint(pixel_values))
             patches = vc.lookup(fp)
         vision = ({"patches": patches} if patches is not None
                   else pixel_values)

@@ -41,8 +41,13 @@ def split_modality_batches(
         if len(idxs) == 0:
             continue
         rng.shuffle(idxs)
-        n_full = (len(idxs) // batch_size) * batch_size
-        for start in range(0, n_full, batch_size):
+        # pad the trailing partial bucket by stealing from the front so
+        # every example trains each epoch (reference SplitModalitySampler,
+        # batching_utils.py:100-106)
+        if len(idxs) % batch_size:
+            n_missing = batch_size - len(idxs) % batch_size
+            idxs = np.concatenate([idxs, idxs[:n_missing]])
+        for start in range(0, len(idxs), batch_size):
             bucket = idxs[start:start + batch_size]
             bucket = bucket[np.argsort(-lengths[bucket])]
             buckets.append(bucket)

@@ -75,11 +75,17 @@ class WidowXEnvAdapter:
 
     def get_observation(self):
         obs = self.env.get_observation()
-        return {"full_image": obs.get("full_image", obs["image_primary"]),
-                "proprio": obs["proprio"]}
+        out = {"full_image": obs.get("full_image", obs["image_primary"]),
+               "proprio": obs["proprio"]}
+        if "eef_transform" in obs:   # pos-mode eval needs the EE pose
+            out["eef_transform"] = obs["eef_transform"]
+        return out
 
     def step(self, action):
         return self.env.step(action)
+
+    def move(self, goal_mat, gripper, duration=1):
+        return self.env.move(goal_mat, gripper, duration=duration)
 
 
 class DummyEnv:

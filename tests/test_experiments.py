@@ -335,3 +335,29 @@ def test_run_closed_loop_pos_mode_issues_absolute_move():
                                [0.31, -0.02, 0.18], atol=1e-9)
     np.testing.assert_allclose(goal_pose[3:], 0.0, atol=1e-9)
     assert moves[0][1] == 0.9
+
+
+def test_run_closed_loop_stops_on_truncation():
+    from emmax_tpu.experiments.policy import run_closed_loop
+
+    class FakeVLA:
+        def generate_actions(self, image, prompt, type="act",
+                             max_new_tokens=512):
+            return [np.zeros(7)] * 4, "POLICIES: ..."
+
+    class TruncEnv:
+        def __init__(self):
+            self.steps = 0
+
+        def get_observation(self):
+            return {"full_image": np.zeros((8, 8, 3), np.uint8)}
+
+        def step(self, action):
+            self.steps += 1
+            truncated = self.steps >= 2   # server dies on the 2nd action
+            return ({}, 0, False, truncated, {})
+
+    env = TruncEnv()
+    log = run_closed_loop(FakeVLA(), env, "reach", max_steps=10)
+    assert env.steps == 2           # remaining chunk NOT issued
+    assert len(log.actions) == 2

@@ -123,3 +123,17 @@ def test_convert_to_jpg(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="Unexpected image format"):
         convert_to_jpg(d)
+
+
+def test_split_modality_batches_cover_every_example():
+    """Trailing partial buckets are padded by stealing from the front
+    (reference batching_utils.py:100-106) — no example is dropped."""
+    from emmax_tpu.util.batching import split_modality_batches
+
+    lengths = list(range(11))
+    is_mm = [i % 2 == 0 for i in range(11)]   # 6 mm, 5 text
+    batches = split_modality_batches(lengths, is_mm, batch_size=4)
+    covered = {i for b in batches for i in b}
+    assert covered == set(range(11))
+    assert all(len(b) == 4 for b in batches)
+    assert len(batches) == 4  # ceil(6/4) + ceil(5/4)

@@ -259,3 +259,13 @@ def test_closed_loop_speculative_vla_matches_plain():
         assert got == ref, f
     assert fast.engine.last_prefill == "tail"
     assert fast.engine.vision_cache.hits >= 2
+
+    # a DIFFERENT frame must miss the cache (default threshold 0.0 = exact
+    # reuse only) and still match the plain engine
+    frame2 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    misses_before = fast.engine.vision_cache.misses
+    ref2 = plain.generate(frame2, prompt(103), max_new_tokens=12)
+    got2 = fast.generate(frame2, prompt(103), max_new_tokens=12)
+    assert got2 == ref2
+    assert fast.engine.vision_cache.misses == misses_before + 1
+    assert fast.engine.last_prefill == "full"
