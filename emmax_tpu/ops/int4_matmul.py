@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_GROUP = 128
-_BN = 256  # output-channel tile (lane-dim multiple of 128)
+_BN = 512  # output-channel tile (lane-dim multiple of 128)
 
 
 def _resolve_group(D: int, group: int) -> int:
