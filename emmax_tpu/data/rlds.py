@@ -109,6 +109,10 @@ def _parse_episode(serialized):
             "image_primary": tf.sparse.to_dense(ex["steps/image_primary"]),
             "proprio": tf.reshape(tf.sparse.to_dense(ex["steps/proprio"]),
                                   (T, ex["proprio_dim"])),
+            # step index within the episode (reference `restructure` adds
+            # observation["timestep"]; the goal-relabel/chunk machinery
+            # keys off it — dataset.py:397-408, traj_transforms.py:41-46)
+            "timestep": tf.range(T, dtype=tf.int32),
         },
         "action": tf.reshape(tf.sparse.to_dense(ex["steps/action"]),
                              (T, ex["action_dim"])),
@@ -248,16 +252,50 @@ def make_dataset_from_rlds(
     return ds, dataset_statistics
 
 
-def apply_trajectory_transforms(ds, *, window_size: int = 1,
+def apply_trajectory_transforms(ds, *, train: bool = True,
+                                window_size: int = 1,
                                 future_action_window_size: int = 0,
-                                skip_unlabeled: bool = False):
-    """Chunking (utils/traj_transforms.py:14-71): each frame gets an
-    observation history window and an action chunk of
-    window + future_action_window steps (padded by repeating the last)."""
+                                skip_unlabeled: bool = False,
+                                max_action: Optional[float] = None,
+                                max_proprio: Optional[float] = None,
+                                goal_relabeling_strategy: Optional[str] = None,
+                                goal_relabeling_kwargs: Optional[Dict] = None,
+                                task_augment_strategy: Optional[str] = None,
+                                task_augment_kwargs: Optional[Dict] = None,
+                                subsample_length: Optional[int] = None):
+    """Trajectory-level transform stack mirroring the reference order
+    (dataset.py:475-572): unlabeled/outlier filters → pad-mask dict → goal
+    relabeling → task augmentation (train only) → window/future-window
+    chunking with goal-timestep clamping (traj_transforms.py:14-71) →
+    random subsampling (train only, traj_transforms.py:76-82)."""
     _require_tf()
+    from emmax_tpu.data.relabeling import (GOAL_RELABELING_STRATEGIES,
+                                           TASK_AUGMENT_STRATEGIES,
+                                           add_pad_mask_dict)
+
     if skip_unlabeled:
         ds = ds.filter(
             lambda t: tf.strings.length(t["task"]["language_instruction"]) > 0)
+    if max_action is not None:
+        ds = ds.filter(lambda t: tf.reduce_all(
+            tf.abs(t["action"]) <= max_action))
+    if max_proprio is not None:
+        ds = ds.filter(lambda t: tf.reduce_all(
+            tf.abs(t["observation"]["proprio"]) <= max_proprio))
+
+    ds = ds.map(add_pad_mask_dict, num_parallel_calls=tf.data.AUTOTUNE)
+
+    if goal_relabeling_strategy is not None:
+        fn = GOAL_RELABELING_STRATEGIES[goal_relabeling_strategy]
+        kw = goal_relabeling_kwargs or {}
+        ds = ds.map(lambda t: fn(t, **kw),
+                    num_parallel_calls=tf.data.AUTOTUNE)
+
+    if train and task_augment_strategy is not None:
+        fn = TASK_AUGMENT_STRATEGIES[task_augment_strategy]
+        kw = task_augment_kwargs or {}
+        ds = ds.map(lambda t: fn(t, **kw),
+                    num_parallel_calls=tf.data.AUTOTUNE)
 
     def chunk(traj):
         T = tf.shape(traj["action"])[0]
@@ -265,16 +303,43 @@ def apply_trajectory_transforms(ds, *, window_size: int = 1,
         # history indices [T, w]; clamped at 0
         hist = tf.range(T)[:, None] + tf.range(-w + 1, 1)[None, :]
         hist = tf.maximum(hist, 0)
-        # action chunk indices [T, w+f]; clamped at T-1
+        # action chunk indices [T, w+f]; clamped at [0, goal timestep]
+        # (traj_transforms.py:41-46: goal relabeling sets task/timestep)
         act = tf.range(T)[:, None] + tf.range(-w + 1, f + 1)[None, :]
-        act = tf.minimum(tf.maximum(act, 0), T - 1)
+        if "timestep" in traj.get("task", {}):
+            goal_ts = traj["task"]["timestep"]
+        else:
+            goal_ts = tf.fill((T,), T - 1)
+        clamped = tf.minimum(tf.maximum(act, 0), goal_ts[:, None])
         out = dict(traj)
         out["observation"] = tf.nest.map_structure(
             lambda x: tf.gather(x, hist), traj["observation"])
-        out["action"] = tf.gather(traj["action"], act)
+        out["action"] = tf.gather(traj["action"], clamped)
+        # whole-observation padding marker (pre-trajectory history slots,
+        # traj_transforms.py:53)
+        out["observation"]["pad_mask"] = (
+            tf.range(T)[:, None] + tf.range(-w + 1, 1)[None, :]) >= 0
+        # actions gathered past the goal become neutral (zeros for relative
+        # dims — traj_transforms.py:56-71; EEF deltas here are relative)
+        past_goal = act > goal_ts[:, None]
+        out["action"] = tf.where(past_goal[:, :, None],
+                                 tf.zeros_like(out["action"]), out["action"])
         return out
 
-    return ds.map(chunk, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(chunk, num_parallel_calls=tf.data.AUTOTUNE)
+
+    if train and subsample_length is not None:
+        def subsample(traj):
+            T = tf.shape(traj["action"])[0]
+            def do():
+                idx = tf.random.shuffle(tf.range(T))[:subsample_length]
+                return tf.nest.map_structure(
+                    lambda x: tf.gather(x, idx)
+                    if x.shape.ndims and x.shape.ndims > 0 else x, traj)
+            return tf.cond(T > subsample_length, do, lambda: traj)
+
+        ds = ds.map(subsample, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds
 
 
 def flatten_trajectories(ds):
@@ -294,9 +359,16 @@ def flatten_trajectories(ds):
 
 
 def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
+                           train: bool = False,
+                           image_augment_kwargs: Optional[Dict] = None,
                            num_parallel_calls: int = 16):
-    """Decode (+ optionally resize) the primary image per frame
-    (dataset.py:590-645; parallelism default from datasets.py:115)."""
+    """Decode + resize, then (train only) augment every ``image_*`` key with
+    a per-frame random seed (dataset.py:590-645: decode/resize at :627-634,
+    augmentation at :636-643 via obs_transforms.augment; parallelism default
+    from datasets.py:115). ``image_augment_kwargs`` is either one dlimp-style
+    kwargs dict (with ``augment_order``) applied to every image, or a
+    ``{name: kwargs}`` mapping keyed like ``image_{name}``; padding images
+    (empty byte strings / pad-mask False) are left untouched."""
     _require_tf()
 
     def decode(frame):
@@ -316,7 +388,49 @@ def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
         frame["observation"]["image_primary"] = imgs
         return frame
 
-    return ds.map(decode, num_parallel_calls=num_parallel_calls)
+    ds = ds.map(decode, num_parallel_calls=num_parallel_calls)
+
+    if train and image_augment_kwargs:
+        from emmax_tpu.data.augment import augment_image
+
+        def augment_frame(frame):
+            # one seed per frame; all image keys/window steps share it so
+            # multi-view geometry stays consistent, with the image-name
+            # index folded in (obs_transforms.py:27-40)
+            seed = tf.random.uniform([2], maxval=tf.int32.max, dtype=tf.int32)
+            obs = frame["observation"]
+            names = sorted(k[6:] for k in obs if k.startswith("image_"))
+            if "augment_order" in image_augment_kwargs:
+                per_name = {n: image_augment_kwargs for n in names}
+            else:
+                per_name = image_augment_kwargs
+            for i, name in enumerate(names):
+                if name not in per_name:
+                    continue
+                kw = per_name[name]
+                img = obs[f"image_{name}"]
+                img_seed = seed + i
+
+                def aug_one(x):
+                    return augment_image(x, img_seed, **kw)
+
+                mask = obs.get("pad_mask_dict", {}).get(f"image_{name}")
+                if img.shape.ndims == 4:  # [window, H, W, 3]
+                    auged = tf.map_fn(aug_one, img, fn_output_signature=img.dtype)
+                else:
+                    auged = aug_one(img)
+                if mask is not None:
+                    # skip padding images (obs_transforms.py:32-40)
+                    keep = tf.reshape(
+                        tf.reduce_all(mask),
+                        [])
+                    auged = tf.cond(keep, lambda: auged, lambda: img)
+                obs[f"image_{name}"] = auged
+            frame["observation"] = obs
+            return frame
+
+        ds = ds.map(augment_frame, num_parallel_calls=num_parallel_calls)
+    return ds
 
 
 def make_interleaved_dataset(datasets: Sequence, weights: Sequence[float], *,

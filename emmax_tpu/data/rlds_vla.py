@@ -69,6 +69,10 @@ class RLDSIterableDataset:
                  batch_transform: RLDSBatchTransform, *,
                  resize_resolution: Optional[Tuple[int, int]] = None,
                  shuffle_buffer_size: int = 10_000, train: bool = True,
+                 image_aug: bool = False,
+                 goal_relabeling_strategy: Optional[str] = None,
+                 task_augment_strategy: Optional[str] = None,
+                 task_augment_kwargs: Optional[Dict] = None,
                  cache_dir=None) -> None:
         from emmax_tpu.data.rlds import (NAMED_MIXTURES,
                                          apply_frame_transforms,
@@ -77,16 +81,30 @@ class RLDSIterableDataset:
                                          make_dataset_from_rlds,
                                          make_interleaved_dataset)
 
+        # image_aug=True enables the exact OpenVLA/Emma-X training recipe
+        # (reference datasets.py:127-141); goal relabeling / task
+        # augmentation mirror apply_trajectory_transforms options
+        # (reference dataset.py:475-572).
+        aug_kwargs = None
+        if image_aug:
+            from emmax_tpu.data.augment import OPENVLA_IMAGE_AUGMENT_KWARGS
+            aug_kwargs = OPENVLA_IMAGE_AUGMENT_KWARGS
+
         mixture = NAMED_MIXTURES.get(data_mix, [(data_mix, 1.0)])
         split = "train" if train else "val"
         datasets, weights, statistics = [], [], {}
         for name, weight in mixture:
             ds, stats = make_dataset_from_rlds(data_root_dir, name, split,
                                                cache_dir=cache_dir)
-            ds = apply_trajectory_transforms(ds, window_size=1,
-                                             skip_unlabeled=True)
+            ds = apply_trajectory_transforms(
+                ds, train=train, window_size=1, skip_unlabeled=True,
+                goal_relabeling_strategy=goal_relabeling_strategy,
+                task_augment_strategy=task_augment_strategy,
+                task_augment_kwargs=task_augment_kwargs)
             ds = flatten_trajectories(ds)
-            ds = apply_frame_transforms(ds, resize=resize_resolution)
+            ds = apply_frame_transforms(ds, resize=resize_resolution,
+                                        train=train,
+                                        image_augment_kwargs=aug_kwargs)
             datasets.append(ds)
             weights.append(weight)
             statistics[name] = stats

@@ -27,9 +27,14 @@ def get_vla_dataset_and_collator(
     train: bool = True,
     resize_resolution: Optional[Tuple[int, int]] = None,
     predict_stop_token: bool = True,
+    image_aug: bool = False,
     cache_dir=None,
 ):
-    """(streaming dataset, collator) for the RLDS action-token path."""
+    """(streaming dataset, collator) for the RLDS action-token path.
+
+    ``image_aug=True`` turns on the OpenVLA training augmentation recipe
+    (reference ``vla/materialize.py:32,51`` → ``datasets.py:127-141``).
+    """
     from emmax_tpu.data.rlds_vla import (RLDSBatchTransform,
                                          RLDSIterableDataset)
 
@@ -39,7 +44,8 @@ def get_vla_dataset_and_collator(
     dataset = RLDSIterableDataset(data_root_dir, data_mix, transform,
                                   resize_resolution=resize_resolution,
                                   shuffle_buffer_size=shuffle_buffer_size,
-                                  train=train, cache_dir=cache_dir)
+                                  train=train, image_aug=image_aug,
+                                  cache_dir=cache_dir)
     collator = partial(collate_train, pad_id=tokenizer.pad_id)
     return dataset, collator
 
