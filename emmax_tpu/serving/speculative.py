@@ -49,7 +49,38 @@ import numpy as np
 
 from emmax_tpu.models.llama import embed_tokens, init_kv_cache
 from emmax_tpu.models.vlm import VLMConfig, fuse_multimodal, llm_apply
+from emmax_tpu.overwatch import initialize_overwatch
 from emmax_tpu.serving.engine import ServingEngine, _round_up, resolve_patches
+
+overwatch = initialize_overwatch(__name__)
+
+
+def _spec_bf16_oom_risk(params, hbm_bytes: float = 16e9) -> bool:
+    """True when speculative verification would OOM a single chip: raw
+    (unquantized) LLM weights whose per-device footprint plus the verifier's
+    transposed stacked-qkv copies exceeds HBM. Measured at 7B/bf16: weights
+    ~13.5 GB + ~3 GB transposed qkv -> OOM on a 16 GB v5e
+    (docs/BENCHMARKS.md "bf16 single-chip speculative decode OOMs")."""
+    layers = params.get("llm", {}).get("layers", {}) if isinstance(
+        params, dict) else {}
+    wq = layers.get("wq")
+    if wq is None or isinstance(wq, dict):   # quantized or non-llama tree
+        return False
+
+    def per_device_bytes(leaf):
+        try:  # sharded jax.Array: count only this device's shard
+            shard = leaf.addressable_shards[0].data
+            if len(leaf.addressable_shards) > 1 or shard.size < leaf.size:
+                return shard.size * shard.dtype.itemsize
+        except (AttributeError, IndexError):
+            pass
+        return leaf.size * leaf.dtype.itemsize
+
+    llm_bytes = sum(per_device_bytes(leaf)
+                    for leaf in jax.tree_util.tree_leaves(params["llm"]))
+    qkv_bytes = sum(per_device_bytes(layers[k])
+                    for k in ("wq", "wk", "wv") if k in layers)
+    return llm_bytes + qkv_bytes > 0.95 * hbm_bytes
 
 
 def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int) -> jax.Array:
@@ -327,7 +358,7 @@ class SpeculativeEngine(ServingEngine):
     """
 
     def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,
-                 **kwargs) -> None:
+                 force_bf16_spec: bool = False, **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
             raise ValueError("SpeculativeEngine is greedy-only")
@@ -336,6 +367,19 @@ class SpeculativeEngine(ServingEngine):
         self.last_steps: Optional[int] = None
         self.last_prefill: Optional[str] = None
         self._prefix = None   # {ids, mask, patches, cache, cur_pos}
+        # bf16 single-chip fence: the chunked verify dot makes XLA
+        # materialize layout-transposed copies of the stacked qkv weights
+        # (~+3 GB at 7B) -> OOM on one 16 GB chip. Quantized (int8/int4) and
+        # weight-sharded deployments are unaffected (docs/BENCHMARKS.md).
+        self._bf16_fallback = (not force_bf16_spec
+                               and _spec_bf16_oom_risk(self.params))
+        if self._bf16_fallback:
+            overwatch.warning(
+                "SpeculativeEngine: unquantized bf16 weights at this scale "
+                "OOM the chunked verifier on a single chip; falling back to "
+                "plain greedy decode. Quantize the weights "
+                "(serving.quant.quantize_vlm_params_np), shard them over a "
+                "mesh, or pass force_bf16_spec=True to override.")
 
     def _prefix_reusable(self, ids, mask, vision_input) -> bool:
         pre = self._prefix
@@ -365,6 +409,13 @@ class SpeculativeEngine(ServingEngine):
         vision-cache fingerprint. Without it the cache fingerprints the
         DEVICE pixel arrays, which costs one ~30 ms relay fetch per tower
         per frame — the robot loop always has the host frame available."""
+        if self._bf16_fallback:
+            # fenced: plain greedy decode (token-identical; no speculation)
+            self.last_steps = None
+            self.last_prefill = "plain-fallback"
+            return super().generate_ids(prompts, pixel_values,
+                                        max_new_tokens=max_new_tokens,
+                                        suffix_ids=suffix_ids)
         ids, mask = self._prepare(prompts, suffix_ids)
         ids_np, mask_np = np.asarray(ids), np.asarray(mask)
         max_new = max_new_tokens or self.options.max_new_tokens

@@ -211,3 +211,76 @@ def test_export_hf_dir_loads_through_facade(tmp_path):
     action = model.predict_action(inputs, unnorm_key="bridge_orig")
     assert action.shape == (7,)
 
+
+
+def test_export_is_self_contained(tmp_path):
+    """VERDICT r2 item 6: the exported dir must load WITHOUT this repo on
+    sys.path. Exports a tiny model, then — in a subprocess whose cwd is the
+    temp dir, with no PYTHONPATH and every repo path stripped — imports the
+    bundled modeling_emmax.py, asserts `import emmax_tpu` fails, and runs
+    processor.get_prompt -> predict_action end-to-end."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as P
+
+    pytest.importorskip("safetensors.torch")
+    from emmax_tpu.models.load import save_pretrained
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights_sc",
+        P(__file__).resolve().parent.parent / "vla-scripts" / "extern"
+        / "convert_weights.py")
+    cw = importlib.util.module_from_spec(spec)
+    _sys.modules["convert_weights_sc"] = cw
+    spec.loader.exec_module(cw)
+
+    cfg = tiny_vlm_config(vocab_size=32064)
+    params = init_vlm_params(jax.random.PRNGKey(5), cfg)
+    run_dir = tmp_path / "run"
+    save_pretrained(run_dir, {"vision_backbone_id": "tiny",
+                              "llm_backbone_id": "tiny",
+                              "arch_specifier": "fused-gelu-mlp"}, params)
+    stats_file = tmp_path / "stats.json"
+    stats_file.write_text(json.dumps({"bridge_orig": {"action": {
+        "q01": [-1.0] * 7, "q99": [1.0] * 7, "mask": [True] * 6 + [False]}}}))
+    out = tmp_path / "export"
+    cw.export_hf(cw.ConvertConfig(src=str(run_dir), dst=str(out),
+                                  mode="export_hf", base_vlm="tiny",
+                                  dataset_statistics=str(stats_file)))
+
+    driver = tmp_path / "drive_standalone.py"
+    driver.write_text(f"""
+import sys
+repo = {str(P(__file__).resolve().parent.parent)!r}
+sys.path = [p for p in sys.path if not p.startswith(repo)]
+try:
+    import emmax_tpu
+    raise SystemExit("emmax_tpu importable - test is vacuous")
+except ImportError:
+    pass
+sys.path.insert(0, {str(out)!r})
+import numpy as np
+import modeling_emmax as M
+from processing_emmax import EmmaXProcessor
+from configuration_emmax import EmmaXVLAConfig
+model = M.EmmaXForVision2Seq.from_pretrained({str(out)!r})
+proc = EmmaXProcessor.from_pretrained({str(out)!r},
+                                      tokenizer=model.vla.tokenizer)
+rng = np.random.default_rng(0)
+prompt, image = proc.get_prompt(
+    "wipe the table", rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+inputs = proc(prompt, image)
+assert inputs["task"] == "wipe the table"
+action = model.predict_action(inputs, unnorm_key="bridge_orig")
+assert action.shape == (7,)
+print("STANDALONE_OK", float(np.sum(action)))
+""")
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("PYTHONPATH",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run([_sys.executable, str(driver)], cwd=tmp_path,
+                         capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "STANDALONE_OK" in res.stdout

@@ -299,3 +299,61 @@ def test_prefix_kv_reuse_token_parity(setup):
          "wipe the table please\nCURRENT GRIPPER: [104, 098]\nOut:"],
         pixels, max_new_tokens=n)
     np.testing.assert_array_equal(out3, ref3)
+
+
+# ---------------------------------------------------------------- bf16 fence
+
+def test_bf16_oom_risk_detector():
+    """Duck-typed leaves sized like real deployments (no allocation)."""
+    from emmax_tpu.serving.speculative import _spec_bf16_oom_risk
+
+    class FakeLeaf:
+        def __init__(self, nbytes):
+            self.size = nbytes // 2
+            self.dtype = np.dtype(np.float16)
+
+    def tree(qkv_gb, rest_gb, quantized=False):
+        per = FakeLeaf(int(qkv_gb / 3 * 1e9))
+        layers = {"wq": {"q8": 0, "scale": 0} if quantized else per,
+                  "wk": per, "wv": per, "wo": FakeLeaf(int(rest_gb * 1e9))}
+        return {"llm": {"layers": layers}}
+
+    # bf16 7B: ~13.5 GB weights + ~3 GB transposed qkv > 16 GB HBM
+    assert _spec_bf16_oom_risk(tree(qkv_gb=3.2, rest_gb=10.3))
+    # int8-quantized (dict weights): never fenced
+    assert not _spec_bf16_oom_risk(tree(qkv_gb=3.2, rest_gb=10.3,
+                                        quantized=True))
+    # small models: never fenced
+    assert not _spec_bf16_oom_risk(tree(qkv_gb=0.5, rest_gb=1.0))
+    # non-llama / empty trees: never fenced
+    assert not _spec_bf16_oom_risk({})
+    assert not _spec_bf16_oom_risk({"llm": {"layers": {}}})
+
+
+def test_bf16_fence_falls_back_to_plain_decode(setup, monkeypatch):
+    """With the fence tripped, SpeculativeEngine must produce the PLAIN
+    engine's exact tokens and record the fallback."""
+    import emmax_tpu.serving.speculative as spec_mod
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(5)
+    pixels = _pixels(cfg, rng, 1)
+    opts = GenerateOptions(temperature=0.0, max_new_tokens=10, eos_id=-1)
+
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    want = plain.generate_ids(["In: do the thing\nOut: "], pixels)
+
+    monkeypatch.setattr(spec_mod, "_spec_bf16_oom_risk", lambda p: True)
+    fenced = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4)
+    assert fenced._bf16_fallback
+    got = fenced.generate_ids(["In: do the thing\nOut: "], pixels)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert fenced.last_prefill == "plain-fallback"
+    assert fenced.last_steps is None
+
+    # force_bf16_spec overrides the fence
+    forced = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4,
+                               force_bf16_spec=True)
+    assert not forced._bf16_fallback
+    got2 = forced.generate_ids(["In: do the thing\nOut: "], pixels)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))

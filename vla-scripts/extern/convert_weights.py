@@ -195,33 +195,37 @@ def export_hf(cfg: ConvertConfig) -> None:
                    f"({len(sd)} tensors, {cfg.export_dtype})")
 
 
-_STUB_TEMPLATE = '''\
-"""Remote-code stub for the `{auto}` entry of this export.
+_SIBLING_STUB_TEMPLATE = '''\
+"""Remote-code entry for `{auto}`: re-exports from the self-contained
+`modeling_emmax.py` bundled in this directory (no package install needed)."""
 
-The TPU-native implementation lives in the `emmax_tpu` package; this stub
-re-exports the published class so `trust_remote_code` consumers resolve the
-`auto_map` entry. Install/vendor `emmax_tpu` alongside this checkpoint.
-"""
-
-from {module} import {name}  # noqa: F401
+try:  # HF dynamic-module loading imports these as a package
+    from .modeling_emmax import {name}  # noqa: F401
+except ImportError:  # plain sys.path import from the export dir
+    from modeling_emmax import {name}  # noqa: F401
 '''
 
 
 def _write_remote_code_stubs(out: Path) -> None:
-    """Hub-style remote-code files matching the config's ``auto_map``."""
-    stubs = {
-        "configuration_emmax.py": ("AutoConfig", "emmax_tpu.extern.hf_config",
-                                   "EmmaXVLAConfig"),
-        "modeling_emmax.py": ("AutoModelForVision2Seq",
-                              "emmax_tpu.extern.hf_facade",
-                              "EmmaXForVision2Seq"),
-        "processing_emmax.py": ("AutoProcessor",
-                                "emmax_tpu.extern.hf_processor",
-                                "EmmaXProcessor"),
+    """Hub-style remote-code files matching the config's ``auto_map``.
+
+    ``modeling_emmax.py`` is a SELF-CONTAINED bundle of the whole inference
+    surface (generated by ``emmax_tpu.extern.standalone``) — the exported
+    dir loads with no ``emmax_tpu`` install, matching the standalone
+    property of the reference Hub file
+    (``prismatic/extern/hf/modeling_prismatic.py:213-489``). The
+    processing/configuration entries re-export from it.
+    """
+    from emmax_tpu.extern.standalone import build_standalone_source
+
+    (out / "modeling_emmax.py").write_text(build_standalone_source())
+    siblings = {
+        "configuration_emmax.py": ("AutoConfig", "EmmaXVLAConfig"),
+        "processing_emmax.py": ("AutoProcessor", "EmmaXProcessor"),
     }
-    for fname, (auto, module, name) in stubs.items():
+    for fname, (auto, name) in siblings.items():
         (out / fname).write_text(
-            _STUB_TEMPLATE.format(auto=auto, module=module, name=name))
+            _SIBLING_STUB_TEMPLATE.format(auto=auto, name=name))
 
 
 def import_hf(cfg: ConvertConfig) -> None:
