@@ -168,7 +168,9 @@ def _layer(h, layer_params, cos, sin, kv_mask, cfg: LlamaConfig,
            attn_impl: str):
     """One decoder layer (uncached path, causal)."""
     p = layer_params
-    h = constrain_batch_sharded(h)
+    # NOTE: no sharding constraint here — with_sharding_constraint inside a
+    # lax.scan body over sharded stacked params miscompiles (wrong values;
+    # see models/vit.py:_block). The carry is anchored before the scan.
     B, L, D = h.shape
     x = rms_norm(h, p["attn_norm"], cfg.norm_eps)
     q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
@@ -212,6 +214,10 @@ def llama_forward(
 
     new_cache = None
     if kv_cache is None:
+        # anchor the carry's batch sharding ONCE before the scan (see
+        # _layer note: constraints inside scan bodies miscompile)
+        inputs_embeds = constrain_batch_sharded(inputs_embeds)
+
         def body(h, xs):
             h = _layer(h, xs, cos, sin, mask, cfg, attn_impl)
             return h, None

@@ -163,7 +163,11 @@ def _embed(params: Params, cfg: ViTConfig, images: jax.Array) -> jax.Array:
 
 
 def _block(h, p, cfg: ViTConfig, attn_impl: str):
-    h = constrain_batch_sharded(h)
+    # NOTE: no sharding constraint here — with_sharding_constraint inside a
+    # lax.scan body whose scanned-over params are sharded miscompiles (wrong
+    # VALUES, reproduced on jax 0.9 CPU with both GSPMD and Shardy on a
+    # 3-axis mesh; /tmp-level repro in tests/test_sharding_training.py).
+    # The carry is anchored once, before the scan, in vit_forward.
     B, L, D = h.shape
     x = layer_norm(h, p["norm1_scale"], p["norm1_bias"], cfg.norm_eps)
     qkv = x @ p["wqkv"] + p["bqkv"]
@@ -199,6 +203,9 @@ def vit_forward(params: Params, cfg: ViTConfig, images: jax.Array, *,
     if num_blocks is None:
         num_blocks = cfg.depth - 1
     h = _embed(params, cfg, images)
+    # anchor the carry's batch sharding ONCE before the scan (see _block
+    # note: constraints inside scan bodies miscompile)
+    h = constrain_batch_sharded(h)
 
     def body(h, p):
         return _block(h, p, cfg, attn_impl), None

@@ -52,7 +52,20 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_GROUP = 128
-_BN = 512  # output-channel tile (lane-dim multiple of 128)
+# Output-channel tile (lane-dim multiple of 128), by M regime. Measured on
+# v5e (round 3, 7-matmul decode layer loop, L32-L16 slope): decode (M<=16)
+# bn=512 -> 455 GB/s effective, bn=1024 -> 567 GB/s (+24%; bigger DMA
+# bursts per grid step); bn=2048 fails to compile, and bn=1024 also fails
+# at prefill shapes (bm=128 x K=11008 unrolled program too large) -> keep
+# 512 there. "parallel" dimension_semantics changes nothing; plane-dot and
+# fused-qkv variants measured slower.
+_BN_DECODE = 1024
+_BN_PREFILL = 512
+
+
+def _bn_for(M: int, F: int) -> int:
+    cap = _BN_DECODE if M <= 16 else _BN_PREFILL
+    return min(cap, ((F + 127) // 128) * 128)
 
 
 def _resolve_group(D: int, group: int) -> int:
@@ -178,7 +191,7 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False):
     group = D // G
     g_half = (D // 2) // group
     bm = 16 if M <= 16 else 128
-    bn = min(_BN, ((F + 127) // 128) * 128)
+    bn = _bn_for(M, F)
     grid = (pl.cdiv(M, bm), pl.cdiv(F, bn))
     kernel = functools.partial(_kernel, group=group, g_half=g_half,
                                stacked=False)
@@ -217,7 +230,7 @@ def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
     group = D // G
     g_half = (D // 2) // group
     bm = 16 if M <= 16 else 128
-    bn = min(_BN, ((F + 127) // 128) * 128)
+    bn = _bn_for(M, F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pl.cdiv(M, bm), pl.cdiv(F, bn)),

@@ -1,0 +1,163 @@
+"""Measured training-step wall time + MFU on the real TPU (VERDICT r2 item 3).
+
+Two configs sized for ONE v5e chip (16 GB):
+
+- ``proxy1b``: ~1.3B-param Llama proxy trained FULL (AdamW, bf16 params,
+  fp32 moments) through the exact 7B code path — lax.scan layer loop, remat,
+  flash/xla attention, fused multimodal splice, masked CE. The per-layer
+  math is identical to the 7B config; only dims shrink.
+- ``align7b``: the reference's ALIGN stage at the REAL 7B scale — frozen
+  DINOv2-L + SigLIP-400M towers (stop-gradient), frozen Llama-2-7B, only
+  the projector trains (``scripts/pretrain.py`` stage "align"; strategy hot
+  loop ``base_strategy.py:157-292``). Backprop flows through all 32 frozen
+  decoder layers to reach the projector, so this measures true 7B
+  fwd+bwd-through cost.
+
+Prints one JSON line per run: step wall time (median), tokens/s, and MFU
+against the v5e bf16 peak (197 TFLOP/s), under two conventions:
+``mfu_6nd`` (6·N·T, the standard reporting convention) and ``mfu_hw``
+(adds the remat recompute + dx-only backward accounting actually executed).
+
+    python scripts/bench_train_step.py --config proxy1b --attn flash
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+V5E_BF16_PEAK = 197e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="proxy1b",
+                    choices=["proxy1b", "align7b"])
+    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--text_len", type=int, default=320)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.models.llama import IGNORE_INDEX, LlamaConfig
+    from emmax_tpu.models.vlm import (VLMConfig, emma_x_vlm_config,
+                                      init_vlm_params)
+    from emmax_tpu.models.vit import DINOV2_L_REG4, SIGLIP_SO400M
+    from emmax_tpu.training.train_state import (create_train_state,
+                                                make_optimizer)
+    from emmax_tpu.training.train_step import jit_train_step, make_train_step
+
+    if args.config == "align7b":
+        cfg = emma_x_vlm_config()
+        stage = "align"
+    else:
+        llm = LlamaConfig(dim=2048, n_layers=22, n_heads=16, n_kv_heads=16,
+                          hidden_dim=5504, vocab_size=32064,
+                          max_seq_len=2048)
+        base = emma_x_vlm_config()
+        cfg = VLMConfig(vision=base.vision, llm=llm,
+                        projector=base.projector._replace(out_dim=2048)
+                        if hasattr(base.projector, "_replace")
+                        else base.projector,
+                        arch_specifier=base.arch_specifier)
+        stage = "vla-full-train"
+
+    B, T = args.batch, args.text_len
+    print(f"# config={args.config} stage={stage} attn={args.attn} "
+          f"B={B} text_len={T}", file=sys.stderr)
+
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
+                           max_grad_norm=1.0, lr_scheduler_type="constant",
+                           total_steps=100, stage=stage)
+    state = create_train_state(params, tx)
+    step = jit_train_step(make_train_step(
+        cfg, tx, attn_impl=args.attn, remat=True,
+        stop_vision_gradient=(stage == "align"),
+        compute_dtype=jnp.bfloat16))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 30000, size=(B, T)).astype(np.int32)
+    ids[:, 0] = 1
+    labels = ids.copy()
+    labels[:, : T // 3] = IGNORE_INDEX
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, T), jnp.bool_),
+        "labels": jnp.asarray(labels),
+        "pixel_values": {name: jnp.asarray(rng.normal(
+            size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
+            .astype(jnp.bfloat16) for name, v in cfg.vision},
+    }
+
+    state, m = step(state, batch)          # compile
+    _ = float(m["loss"])
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        _ = float(m["loss"])               # forces the fetch
+        times.append(time.perf_counter() - t0)
+    t_med = float(np.median(times))
+
+    # --- FLOPs accounting
+    n_llm = sum(int(np.prod(l.shape)) for l in
+                jax.tree_util.tree_leaves(params["llm"]))
+    n_vis = sum(int(np.prod(l.shape)) for l in
+                jax.tree_util.tree_leaves(params["vision"]))
+    n_proj = sum(int(np.prod(l.shape)) for l in
+                 jax.tree_util.tree_leaves(params["projector"]))
+    P = cfg.num_patches
+    F = T + P                              # fused LLM sequence
+    tok_llm = B * F
+    tok_vis = B * (P + 8)                  # + prefix tokens, approx
+    # matmul flops: fwd 2N per token; dW bwd 2N (trainable only); dx bwd 2N
+    if stage == "align":
+        trainable_llm = 0.0
+        vis_bwd = 0.0                      # stop_gradient on towers
+    else:
+        trainable_llm = n_llm
+        vis_bwd = 4 * n_vis * tok_vis
+    fwd = 2 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
+    bwd = (2 * n_llm * tok_llm            # dx through llm
+           + 2 * trainable_llm * tok_llm  # dW
+           + vis_bwd
+           + 4 * n_proj * B * P)
+    attn = 4 * B * F * F * cfg.llm.dim    # qk + av, fwd
+    remat_extra = fwd                      # scanned layers recompute fwd
+    flops_6nd = 6 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
+    flops_hw = fwd + bwd + remat_extra + 3 * attn
+
+    out = {
+        "bench": "train_step",
+        "config": args.config,
+        "stage": stage,
+        "attn": args.attn,
+        "batch": B,
+        "fused_seq": F,
+        "params_b": round(n_params / 1e9, 3),
+        "step_ms": round(t_med * 1e3, 1),
+        "steps_per_s": round(1.0 / t_med, 3),
+        "tokens_per_s": round(tok_llm / t_med, 1),
+        "examples_per_s": round(B / t_med, 2),
+        "mfu_6nd": round(flops_6nd / t_med / V5E_BF16_PEAK, 4),
+        "mfu_hw": round(flops_hw / t_med / V5E_BF16_PEAK, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

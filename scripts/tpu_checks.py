@@ -1,0 +1,120 @@
+"""On-chip correctness checks (driven by tests/test_tpu_gated.py).
+
+Runs on the REAL TPU (no JAX_PLATFORMS override) and prints one JSON line
+per check. Small-but-structurally-real configs keep runtimes in seconds;
+the 7B-scale equivalents live in scripts/bench_quant_quality.py.
+
+    python scripts/tpu_checks.py quant_small
+    python scripts/tpu_checks.py paged_parity
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _small_cfg():
+    import jax.numpy as jnp
+
+    from emmax_tpu.models.llama import LlamaConfig
+    from emmax_tpu.models.vit import ViTConfig
+    from emmax_tpu.models.vlm import VLMConfig
+
+    # structurally llama-7B (GQA off, silu mlp, rope) at 1/4 width, 1/4 depth
+    llm = LlamaConfig(dim=1024, n_layers=8, n_heads=8, n_kv_heads=8,
+                      hidden_dim=2816, vocab_size=32064, max_seq_len=2048)
+    vision = (
+        ("dino", ViTConfig(img_size=56, patch_size=14, dim=256, depth=4,
+                           n_heads=4, hidden_dim=1024, class_token=True,
+                           num_reg_tokens=4, layerscale=True)),
+        ("siglip", ViTConfig(img_size=56, patch_size=14, dim=256, depth=4,
+                             n_heads=4, hidden_dim=1024, class_token=False,
+                             num_reg_tokens=0, layerscale=False,
+                             gelu_tanh=True)),
+    )
+    return VLMConfig(vision=vision, llm=llm, arch_specifier="fused-gelu-mlp")
+
+
+def quant_small():
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.models.vlm import init_vlm_params
+    from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
+    from emmax_tpu.serving.quant import quantize_vlm_params
+    from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
+
+    cfg = _small_cfg()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    tok = ByteLevelTokenizer()
+    rng = np.random.default_rng(0)
+    pixels = {name: jnp.asarray(rng.normal(
+        size=(1, v.img_size, v.img_size, 3)).astype(np.float32))
+        .astype(jnp.bfloat16) for name, v in cfg.vision}
+    prompt = "In: pick up the spoon\nOut:"
+    opts = GenerateOptions(eos_id=-1)
+    n_new = 64
+
+    outs = {}
+    for fmt in ("bf16", "int8", "int4"):
+        if fmt == "bf16":
+            p = params
+        else:
+            p = jax.jit(lambda q: quantize_vlm_params(
+                q, bits=8 if fmt == "int8" else 4))(params)
+        eng = ServingEngine(cfg, p, tok, options=opts)
+        outs[fmt] = np.asarray(
+            eng.generate_ids([prompt], pixels, max_new_tokens=n_new))[0]
+    agree8 = float((outs["bf16"] == outs["int8"]).mean())
+    agree4 = float((outs["bf16"] == outs["int4"]).mean())
+    print(json.dumps({"check": "quant_small", "n_new": n_new,
+                      "int8_agree": agree8, "int4_agree": agree4,
+                      "backend": str(__import__("jax").devices()[0])}))
+
+
+def paged_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.models.vlm import init_vlm_params
+    from emmax_tpu.serving.paged import PagedServingEngine
+    from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
+
+    cfg = _small_cfg()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    tok = ByteLevelTokenizer()
+    rng = np.random.default_rng(0)
+    pixels = {name: jnp.asarray(rng.normal(
+        size=(1, v.img_size, v.img_size, 3)).astype(np.float32))
+        .astype(jnp.bfloat16) for name, v in cfg.vision}
+    prompts = [f"In: stack the {w} cups\nOut:" for w in
+               ("red", "blue", "green")]
+
+    def run(mode):
+        eng = PagedServingEngine(cfg, params, tok, num_slots=3, n_pages=16,
+                                 page_size=128, max_pages_per_slot=8,
+                                 burst=8, paged_attn=mode)
+        rids = [eng.submit(p, pixels, max_new_tokens=24) for p in prompts]
+        done = eng.run_until_complete()
+        return {r: done[r] for r in rids}
+
+    kernel = run("kernel")
+    gather = run("gather")
+    match = all(kernel[r] == gather[r] for r in kernel)
+    print(json.dumps({"check": "paged_parity", "match": bool(match),
+                      "lens": [len(v) for v in kernel.values()],
+                      "backend": str(jax.devices()[0])}))
+    if not match:
+        for r in kernel:
+            print("kernel", kernel[r], "gather", gather[r], file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    {"quant_small": quant_small, "paged_parity": paged_parity}[sys.argv[1]]()

@@ -138,3 +138,37 @@ def test_frozen_params_unchanged_after_step():
     assert not np.array_equal(
         np.asarray(params["llm"]["layers"]["wq"]),
         np.asarray(state.params["llm"]["layers"]["wq"]))
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 4, 2), (2, 4, 1)])
+def test_sharded_step_matches_single_device(mesh_shape):
+    """Regression for a real miscompile: `with_sharding_constraint` inside a
+    lax.scan body whose scanned-over stacked params are sharded produced
+    WRONG values on multi-axis meshes (jax 0.9 CPU, both GSPMD and Shardy;
+    loss off by 8e-4 relative, grad norm by 4%). Constraints are now
+    anchored on the scan carry BEFORE the scan (models/vit.py, llama.py);
+    this pins sharded-vs-single-device train-step parity."""
+    cfg = tiny_vlm_config()
+    rng = np.random.default_rng(0)
+    host_batch = _make_batch(cfg, rng)
+
+    def one_step(mesh_shape):
+        mesh = make_mesh(mesh_shape,
+                         devices=jax.devices()[:int(np.prod(mesh_shape))])
+        params = shard_params(init_vlm_params(jax.random.PRNGKey(0), cfg),
+                              mesh)
+        tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                               max_grad_norm=1.0,
+                               lr_scheduler_type="constant",
+                               total_steps=10, stage="vla-full-train")
+        state = create_train_state(params, tx)
+        step = jit_train_step(make_train_step(cfg, tx, remat=True,
+                                              compute_dtype=jnp.float32),
+                              mesh=mesh)
+        batch = shard_batch(host_batch, mesh)
+        _, m = step(state, batch)
+        return float(m["loss"]), float(m["grad_norm"])
+
+    ref_loss, ref_gnorm = one_step((1, 1, 1))
+    loss, gnorm = one_step(mesh_shape)
+    np.testing.assert_allclose(loss, ref_loss, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(gnorm, ref_gnorm, rtol=2e-4, atol=1e-5)
