@@ -53,15 +53,62 @@ from emmax_tpu.ops.attention import multi_head_attention
 from emmax_tpu.ops.norms import rms_norm
 from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
 
+_MAX_INT8 = 127.5   # kernel quantization_utils convention
+
+
+def _row_quantize(x):
+    """[..., hd] float -> (int8 rows, f32 absmax scales [..., 1])."""
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    safe = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.rint(x.astype(jnp.float32) * (_MAX_INT8 / safe)).astype(jnp.int8)
+    return q, scale
+
+
+def _row_dequantize(q, scale, dtype):
+    return (q.astype(jnp.float32) * scale / _MAX_INT8).astype(dtype)
+
+
+def _write_rows(pages, rows, gids, offs):
+    """In-place page-pool write: one ``dynamic_update_slice`` per batch row
+    (``rows [KV, B, ...last]`` into ``pages [KV, G, ps, ...last]`` at
+    ``(0, gids[b], offs[b], 0)``). Advanced-index scatter with per-row page
+    ids lowers to a strided scatter across the huge page axis (measured
+    ~5x slower bursts); scalar-start DUS aliases the carry buffer."""
+    B = rows.shape[1]
+
+    def body(b, pg):
+        val = rows[:, b][:, None, None].astype(pg.dtype)   # [KV, 1, 1, last]
+        return jax.lax.dynamic_update_slice(
+            pg, val, (0, gids[b], offs[b], 0))
+
+    return jax.lax.fori_loop(0, B, body, pages)
+
 
 def init_paged_pool(cfg, *, n_pages: int, page_size: int, num_slots: int,
-                    max_pages_per_slot: int, dtype=jnp.bfloat16) -> Dict:
+                    max_pages_per_slot: int, dtype=jnp.bfloat16,
+                    quantized: bool = False) -> Dict:
     """Page pool with one TRASH page per layer (local id ``n_pages``):
     inactive rows of the batched decode step write there instead of
-    clobbering a live page."""
+    clobbering a live page. ``quantized=True`` stores int8 pages with
+    per-row absmax scales (half the page bytes -> 2x token capacity; the
+    Pallas kernel consumes them natively as ``QuantizedTensor``)."""
     llm = cfg.llm
     stride = n_pages + 1
     shape = (llm.n_kv_heads, llm.n_layers * stride, page_size, llm.head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+            "page_table": jnp.full((num_slots, max_pages_per_slot), -1,
+                                   jnp.int32),
+            "len": jnp.zeros((num_slots,), jnp.int32),
+            "cur": jnp.zeros((num_slots,), jnp.int32),
+            "remaining": jnp.zeros((num_slots,), jnp.int32),
+            "active": jnp.zeros((num_slots,), jnp.bool_),
+        }
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -100,8 +147,14 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
     kv = llm_cfg.n_kv_heads
     hd = llm_cfg.head_dim
 
+    quantized = "k_scale" in pool
+
     def body(i, carry):
-        h, k_pages, v_pages = carry
+        if quantized:
+            h, k_pages, v_pages, k_scale, v_scale = carry
+        else:
+            h, k_pages, v_pages = carry
+            k_scale = v_scale = None
         p = layer_slice(llm_params["layers"], i)
         x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
         k_new = mm(x, p["wk"]).reshape(B, 1, kv, hd)
@@ -111,10 +164,15 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
         local_ids = jnp.where(pool["active"] & (raw_ids >= 0), raw_ids,
                               n_pages)                  # trash local id
         gids = i * stride + local_ids                   # [B] global ids
-        k_pages = k_pages.at[:, gids, off_of_t].set(
-            k_new[:, 0].transpose(1, 0, 2).astype(k_pages.dtype))
-        v_pages = v_pages.at[:, gids, off_of_t].set(
-            v_new[:, 0].transpose(1, 0, 2).astype(v_pages.dtype))
+        k_row = k_new[:, 0].transpose(1, 0, 2)          # [KV, B, hd]
+        v_row = v_new[:, 0].transpose(1, 0, 2)
+        if quantized:
+            k_row, ks = _row_quantize(k_row)
+            v_row, vs = _row_quantize(v_row)
+            k_scale = _write_rows(k_scale, ks, gids, off_of_t)
+            v_scale = _write_rows(v_scale, vs, gids, off_of_t)
+        k_pages = _write_rows(k_pages, k_row, gids, off_of_t)
+        v_pages = _write_rows(v_pages, v_row, gids, off_of_t)
 
         q = mm(x, p["wq"]).reshape(B, 1, llm_cfg.n_heads, hd)
         q = apply_rope(q, cos, sin)
@@ -123,18 +181,32 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
         if paged_attn == "kernel":
             from jax.experimental.pallas.ops.tpu.paged_attention import \
                 paged_attention
+            from jax.experimental.pallas.ops.tpu.paged_attention. \
+                quantization_utils import QuantizedTensor
 
+            if quantized:
+                k_in = QuantizedTensor(weight=k_pages, scales=k_scale)
+                v_in = QuantizedTensor(weight=v_pages, scales=v_scale)
+                qdt = jnp.bfloat16
+            else:
+                k_in, v_in = k_pages, v_pages
+                qdt = k_pages.dtype
             attn = paged_attention(
-                q[:, 0].astype(k_pages.dtype), k_pages, v_pages,
+                q[:, 0].astype(qdt), k_in, v_in,
                 lengths, table_l,
                 pages_per_compute_block=_pick_ppcb(MP))
             attn = attn[:, None].astype(h.dtype)        # [B, 1, H, hd]
         else:
             # XLA gather fallback (CPU tests / non-TPU backends)
-            k_c = jnp.take(k_pages, table_l.reshape(-1), axis=1) \
-                .reshape(kv, B, S, hd).transpose(1, 2, 0, 3)
-            v_c = jnp.take(v_pages, table_l.reshape(-1), axis=1) \
-                .reshape(kv, B, S, hd).transpose(1, 2, 0, 3)
+            k_c = jnp.take(k_pages, table_l.reshape(-1), axis=1)
+            v_c = jnp.take(v_pages, table_l.reshape(-1), axis=1)
+            if quantized:
+                ks_c = jnp.take(k_scale, table_l.reshape(-1), axis=1)
+                vs_c = jnp.take(v_scale, table_l.reshape(-1), axis=1)
+                k_c = _row_dequantize(k_c, ks_c, h.dtype)
+                v_c = _row_dequantize(v_c, vs_c, h.dtype)
+            k_c = k_c.reshape(kv, B, S, hd).transpose(1, 2, 0, 3)
+            v_c = v_c.reshape(kv, B, S, hd).transpose(1, 2, 0, 3)
             slot_ids = jnp.arange(S)[None, :]
             kv_mask = slot_ids < lengths[:, None]
             attn = multi_head_attention(
@@ -144,14 +216,24 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
         x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
         h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
                    p["w_down"])
+        if quantized:
+            return (h, k_pages, v_pages, k_scale, v_scale)
         return (h, k_pages, v_pages)
 
-    h, k_pages, v_pages = jax.lax.fori_loop(
-        0, llm_cfg.n_layers, body, (emb, pool["k"], pool["v"]))
+    if quantized:
+        init = (emb, pool["k"], pool["v"], pool["k_scale"], pool["v_scale"])
+        h, k_pages, v_pages, k_scale, v_scale = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, init)
+        new_pool = dict(pool, k=k_pages, v=v_pages, k_scale=k_scale,
+                        v_scale=v_scale)
+    else:
+        h, k_pages, v_pages = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, (emb, pool["k"], pool["v"]))
+        new_pool = dict(pool, k=k_pages, v=v_pages)
     h = rms_norm(h, llm_params["final_norm"], llm_cfg.norm_eps)
     logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)
     nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-    return dict(pool, k=k_pages, v=v_pages), nxt
+    return new_pool, nxt
 
 
 _paged_decode_step = partial(jax.jit, static_argnames=(
@@ -229,8 +311,16 @@ def _insert_pages(pool, slot: int, k_scratch, v_scratch, page_ids, used,
         L, n, page_size, *v_scratch.shape[-2:]).transpose(3, 0, 1, 2, 4)
     gids = jnp.arange(L, dtype=jnp.int32)[:, None] * stride + page_ids[None]
     pool = dict(pool)
-    pool["k"] = pool["k"].at[:, gids].set(k_src.astype(pool["k"].dtype))
-    pool["v"] = pool["v"].at[:, gids].set(v_src.astype(pool["v"].dtype))
+    if "k_scale" in pool:
+        k_q, k_s = _row_quantize(k_src)
+        v_q, v_s = _row_quantize(v_src)
+        pool["k"] = pool["k"].at[:, gids].set(k_q)
+        pool["v"] = pool["v"].at[:, gids].set(v_q)
+        pool["k_scale"] = pool["k_scale"].at[:, gids].set(k_s)
+        pool["v_scale"] = pool["v_scale"].at[:, gids].set(v_s)
+    else:
+        pool["k"] = pool["k"].at[:, gids].set(k_src.astype(pool["k"].dtype))
+        pool["v"] = pool["v"].at[:, gids].set(v_src.astype(pool["v"].dtype))
     table_row = jnp.full((pool["page_table"].shape[1],), -1, jnp.int32)
     table_row = table_row.at[:n].set(page_ids)
     pool["page_table"] = pool["page_table"].at[slot].set(table_row)
@@ -263,13 +353,14 @@ class PagedServingEngine:
     """Continuous batching over a shared page pool (greedy, Llama family).
 
     ``paged_attn``: "kernel" (Pallas paged attention, TPU), "gather" (XLA
-    fallback), or "auto" (kernel on TPU backends).
+    gather), or "auto" (currently = gather; see the measured note below).
     """
 
     def __init__(self, cfg: VLMConfig, params, tokenizer, *,
                  num_slots: int = 8, n_pages: int = 64, page_size: int = 64,
                  max_pages_per_slot: int = 16, attn_impl: str = "xla",
-                 burst: int = 8, paged_attn: str = "auto") -> None:
+                 burst: int = 8, paged_attn: str = "auto",
+                 quantized_cache: bool = False) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -280,13 +371,20 @@ class PagedServingEngine:
         self.attn_impl = attn_impl
         self.burst = burst
         if paged_attn == "auto":
-            paged_attn = ("kernel" if jax.default_backend() == "tpu"
-                          else "gather")
+            # Measured on v5e at 7B/int4, 6 slots, burst 16: the Pallas
+            # paged-attention kernel costs MORE than the XLA gather here —
+            # each burst is 32 layers x 16 steps = 512 kernel invocations
+            # with (B, KV)=192 tiny programs each, and the per-call/DMA
+            # setup dominates (~3.5 s/burst vs 0.64 s gather). The gather
+            # path wins until bursts get fused across layers; kernel stays
+            # opt-in for high-page-count regimes.
+            paged_attn = "gather"
         self.paged_attn = paged_attn
         compute_dtype = params["llm"]["embed"].dtype
         self.pool = init_paged_pool(
             cfg, n_pages=n_pages, page_size=page_size, num_slots=num_slots,
-            max_pages_per_slot=max_pages_per_slot, dtype=compute_dtype)
+            max_pages_per_slot=max_pages_per_slot, dtype=compute_dtype,
+            quantized=quantized_cache)
         self.free_pages: List[int] = list(range(n_pages))
         self._ids = itertools.count()
         self.queue: List[_Request] = []

@@ -93,3 +93,27 @@ def test_submit_rejects_oversized_request(setup):
                              page_size=32, max_pages_per_slot=4)
     with pytest.raises(ValueError, match="pages"):
         eng.submit("In: x\nOut:", pixels(0), max_new_tokens=512)
+
+
+def test_paged_quantized_cache(setup):
+    """int8 pages (per-row absmax scales): engine completes, produces the
+    right shape of output, and the early tokens track the bf16-page run
+    (same contract as the dense engine's int8 KV cache tests)."""
+    cfg, params, tok, pixels = setup
+    prompt = "In: wipe the table\nOut:"
+
+    def run(quantized):
+        eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=12,
+                                 page_size=64, max_pages_per_slot=6,
+                                 burst=4, paged_attn="gather",
+                                 quantized_cache=quantized)
+        rid = eng.submit(prompt, pixels(0), max_new_tokens=12)
+        done = eng.run_until_complete()
+        return done[rid]
+
+    dense = run(False)
+    quant = run(True)
+    assert len(quant) == len(dense)
+    # greedy argmax should agree at least early in the rollout
+    n_agree = sum(a == b for a, b in zip(dense[:4], quant[:4]))
+    assert n_agree >= 3, (dense, quant)
