@@ -82,13 +82,20 @@ def init_vlm_params(rng: jax.Array, cfg: VLMConfig, dtype=jnp.float32) -> Params
 
 def encode_images(params: Params, cfg: VLMConfig,
                   pixel_values: Dict[str, jax.Array], *,
-                  attn_impl: str = "xla") -> jax.Array:
+                  attn_impl: str = "xla",
+                  stop_tower_gradient: bool = False) -> jax.Array:
     """Run every tower on its own normalized image and concat on channels
-    (``dinosiglip_vit.py:142-147``), then project to LLM dim."""
+    (``dinosiglip_vit.py:142-147``), then project to LLM dim.
+
+    ``stop_tower_gradient`` stops gradients at the TOWER OUTPUTS (before
+    the projector) — the align-stage contract: frozen towers, trainable
+    projector (reference ``freeze_backbones("align")``)."""
     feats = [vit_forward(params["vision"][name], vcfg, pixel_values[name],
                          attn_impl=attn_impl)
              for name, vcfg in cfg.vision]
     fused = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+    if stop_tower_gradient:
+        fused = jax.lax.stop_gradient(fused)
     return projector_forward(params["projector"], fused)
 
 
@@ -167,9 +174,12 @@ def vlm_forward(
     """
     if mask is None:
         mask = jnp.ones(input_ids.shape, jnp.bool_)
-    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
-    if stop_vision_gradient:
-        patch_embeds = jax.lax.stop_gradient(patch_embeds)
+    # stop at the tower outputs, NOT after the projector: stopping the
+    # projected embeds would silently zero the projector's gradients too,
+    # breaking the align stage (frozen towers + TRAINABLE projector)
+    patch_embeds = encode_images(params, cfg, pixel_values,
+                                 attn_impl=attn_impl,
+                                 stop_tower_gradient=stop_vision_gradient)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, flabels, positions = fuse_multimodal(
         patch_embeds, input_embeds, mask, labels,

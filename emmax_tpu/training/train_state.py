@@ -36,12 +36,20 @@ def _path_str(path) -> str:
 
 
 def trainable_mask(params: Params, stage: str) -> Params:
-    """Per-leaf float mask (same shapes) — 1.0 where trainable.
+    """Per-leaf BROADCASTABLE host mask — 1.0 where trainable.
+
+    Uniform leaves get numpy scalars and last-layer stages a
+    ``[L, 1, ...]`` column, NOT full-shape arrays: full fp32 masks would
+    materialize a params-sized tree (28 GB at 7B) and, on a remote-compile
+    backend, one device dispatch/compile per leaf shape. Broadcasting in
+    ``grad * mask`` keeps the math identical.
 
     Stages mirror ``freeze_backbones`` exactly (align / finetune / vla-train /
     full-finetune / vla-full-train / last-layer-finetune /
     vla-last-layer-train / vla-sandwich-train).
     """
+    import numpy as np
+
     def leaf_mask(path, leaf):
         p = _path_str(path)
         vision = p.startswith("vision")
@@ -53,11 +61,13 @@ def trainable_mask(params: Params, stage: str) -> Params:
         def last_layer_only():
             # embed + lm_head + final layer of the stacked axis
             if is_llm_embed:
-                return jnp.ones(leaf.shape, jnp.float32)
+                return np.float32(1.0)
             if is_llm_layers:
-                m = jnp.zeros(leaf.shape, jnp.float32)
-                return m.at[-1].set(1.0)
-            return jnp.zeros(leaf.shape, jnp.float32)
+                L = leaf.shape[0]
+                m = np.zeros((L,) + (1,) * (len(leaf.shape) - 1), np.float32)
+                m[-1] = 1.0
+                return m
+            return np.float32(0.0)
 
         if stage == "align":
             on = projector
@@ -66,14 +76,14 @@ def trainable_mask(params: Params, stage: str) -> Params:
         elif stage in ("full-finetune", "vla-full-train"):
             on = True
         elif stage in ("last-layer-finetune", "vla-last-layer-train"):
-            return last_layer_only() if llm else jnp.zeros(leaf.shape, jnp.float32)
+            return last_layer_only() if llm else np.float32(0.0)
         elif stage == "vla-sandwich-train":
             if llm:
                 return last_layer_only()
             on = vision or projector
         else:
             raise ValueError(f"unsupported stage {stage!r}")
-        return jnp.full(leaf.shape, 1.0 if on else 0.0, jnp.float32)
+        return np.float32(1.0 if on else 0.0)
 
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
@@ -139,7 +149,10 @@ def make_optimizer(params: Params, *, learning_rate: float,
                                   mask=_decay_mask),
              "freeze": optax.set_to_zero()},
             param_labels=jax.tree_util.tree_map(
-                lambda m: "train" if float(jnp.any(m)) else "freeze", mask)),
+                # host-side: jnp.any per leaf costs a device round trip
+                # (and a per-shape remote compile) for every parameter
+                lambda m: "train" if bool(__import__("numpy").any(m))
+                else "freeze", mask)),
     )
     # per-leaf partial-freeze (last-layer stages) applied to grads up front
     freeze_grads = jax.tree_util.tree_map(lambda m: m, mask)

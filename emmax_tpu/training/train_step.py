@@ -53,8 +53,18 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
                     compute_dtype=jnp.bfloat16,
                     grad_accum_steps: int = 1,
                     transforms: Optional[Dict] = None,
-                    action_vocab_size: Optional[int] = None):
+                    action_vocab_size: Optional[int] = None,
+                    freeze_mask: Optional[Dict] = None):
     """Returns ``train_step(state, batch) -> (state, metrics)`` ready to jit.
+
+    ``freeze_mask`` (optional): the ``trainable_mask(params, stage)`` tree.
+    Leaves that are ENTIRELY frozen (mask all-zero) are excluded from
+    differentiation — their gradients are never computed or materialized
+    (scalar-zero placeholders feed the optimizer, whose ``set_to_zero``
+    branch holds no state for them). Without this, fine-tuning a frozen 7B
+    backbone materializes a params-sized gradient tree (13.5 GB) just to
+    mask it: align-stage at 7B OOMs a 16 GB chip. Partially-frozen leaves
+    (last-layer stages) keep the multiply-mask path.
 
     ``batch``: {"input_ids", "attention_mask", "labels"} plus either
     ``"pixel_values": {tower: [B, H, W, 3]}`` (pre-normalized) or — when
@@ -99,7 +109,37 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
             vocab_size=action_vocab_size or cfg.llm.vocab_size)
         return loss, {"action_accuracy": acc, "action_l1": l1}
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # leaves to exclude from differentiation entirely (host-side decision)
+    _frozen_leaf = None
+    if freeze_mask is not None:
+        import numpy as _np
+
+        _frozen_leaf = jax.tree_util.tree_map(
+            lambda m: bool(_np.all(_np.asarray(m) == 0)), freeze_mask)
+
+    _plain_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def grad_fn(params, batch):
+        if _frozen_leaf is None:
+            return _plain_grad_fn(params, batch)
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_frozen = jax.tree_util.tree_leaves(_frozen_leaf)
+        train_idx = [i for i, fz in enumerate(flat_frozen) if not fz]
+
+        def loss_from_subset(sub, flat_all, batch):
+            merged = list(flat_all)
+            for i, v in zip(train_idx, sub):
+                merged[i] = v
+            return loss_fn(jax.tree_util.tree_unflatten(treedef, merged),
+                           batch)
+
+        sub = [flat_p[i] for i in train_idx]
+        (loss, aux), sub_grads = jax.value_and_grad(
+            loss_from_subset, has_aux=True)(sub, flat_p, batch)
+        grads_flat = [jnp.zeros((), leaf.dtype) for leaf in flat_p]
+        for i, g in zip(train_idx, sub_grads):
+            grads_flat[i] = g
+        return (loss, aux), jax.tree_util.tree_unflatten(treedef, grads_flat)
 
     def single_step(state: TrainState, batch):
         (loss, aux), grads = grad_fn(state.params, batch)

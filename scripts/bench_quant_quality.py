@@ -59,44 +59,58 @@ def generate_leaf(path_str: str, shape, dtype):
 
 
 def build_params(fmt: str):
-    """fmt: bf16 | int8 | int4g{64,128,256}. Quantized formats quantize each
-    LLM matmul leaf right after generation and free the bf16 copy."""
+    """fmt: bf16 | int8 | int4g{64,128,256}. One jitted call generates the
+    whole deterministic tree and (for quant formats) quantizes the LLM
+    matmul leaves in place — XLA frees each bf16 leaf after its quantize,
+    so peak memory is quantized-tree + one leaf. A single compile instead
+    of one dispatch/compile per leaf (the relay charges minutes for the
+    per-leaf version)."""
     import jax
     import jax.numpy as jnp
 
     from emmax_tpu.models.vlm import emma_x_vlm_config, init_vlm_params
-    from emmax_tpu.serving.quant import QUANT_KEYS, quantize_weight
+    from emmax_tpu.serving.quant import quantize_weight
     from emmax_tpu.ops.int4_matmul import quantize_weight_int4
 
     cfg = emma_x_vlm_config()
     shapes = jax.eval_shape(
         lambda: init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
-
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-    out = []
-    for path, leaf in flat:
-        ps = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                      for k in path)
-        val = generate_leaf(ps, leaf.shape, leaf.dtype)
-        is_llm_mm = ps.startswith("llm/") and any(
+    paths = ["/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                      for k in path) for path, _ in flat]
+
+    def is_llm_mm(ps):
+        return ps.startswith("llm/") and any(
             ps.endswith("/" + q) or ps == "llm/" + q for q in
             ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"))
-        if fmt != "bf16" and is_llm_mm:
-            if fmt == "int8":
-                val_q = quantize_weight(val)
-            else:
-                group = int(fmt[len("int4g"):])
-                val_q = jax.jit(
-                    lambda v: quantize_weight_int4(v, group=group))(val)
-            val_q = jax.tree_util.tree_map(
-                lambda a: a.block_until_ready(), val_q)
-            del val
-            out.append(val_q)
-        else:
-            out.append(val)
-    params = jax.tree_util.tree_unflatten(
-        treedef, out)
-    return cfg, params
+
+    def quantize(val):
+        if fmt == "int8":
+            return quantize_weight(val)
+        group = int(fmt[len("int4g"):])
+        return quantize_weight_int4(val, group=group)
+
+    # One jit for everything that stays bf16; one jit PER quantized leaf so
+    # XLA frees each bf16 source right after its quantize (a single fused
+    # jit kept all bf16 intermediates live -> 16.1 GB OOM at int4).
+    plain_idx = [i for i, ps in enumerate(paths)
+                 if fmt == "bf16" or not is_llm_mm(ps)]
+    quant_idx = [i for i in range(len(paths)) if i not in set(plain_idx)]
+
+    plain_vals = jax.jit(lambda: [
+        generate_leaf(paths[i], flat[i][1].shape, flat[i][1].dtype)
+        for i in plain_idx])()
+    jax.block_until_ready(plain_vals)
+
+    out = [None] * len(paths)
+    for i, v in zip(plain_idx, plain_vals):
+        out[i] = v
+    for i in quant_idx:
+        qv = jax.jit(lambda i=i: quantize(generate_leaf(
+            paths[i], flat[i][1].shape, flat[i][1].dtype)))()
+        jax.block_until_ready(qv)
+        out[i] = qv
+    return cfg, jax.tree_util.tree_unflatten(treedef, out)
 
 
 def run_format(fmt: str, n_forced: int = 512, n_free: int = 512):

@@ -40,7 +40,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="proxy1b",
                     choices=["proxy1b", "align7b"])
-    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--text_len", type=int, default=320)
     ap.add_argument("--reps", type=int, default=5)
@@ -54,38 +54,57 @@ def main():
                                       init_vlm_params)
     from emmax_tpu.models.vit import DINOV2_L_REG4, SIGLIP_SO400M
     from emmax_tpu.training.train_state import (create_train_state,
-                                                make_optimizer)
+                                                make_optimizer,
+                                                trainable_mask)
     from emmax_tpu.training.train_step import jit_train_step, make_train_step
 
     if args.config == "align7b":
         cfg = emma_x_vlm_config()
         stage = "align"
     else:
-        llm = LlamaConfig(dim=2048, n_layers=22, n_heads=16, n_kv_heads=16,
+        # ~1.5B total (0.81B llm trained + real frozen towers): the
+        # largest full-AdamW config that fits one 16 GB chip (fp32 moments
+        # for trained params; full-train with vision moments needs 26 GB).
+        # "vla-train" (frozen vision) is the reference's standard VLA
+        # fine-tune stage (stage_from_flags(freeze_vision=True, ...)).
+        llm = LlamaConfig(dim=2048, n_layers=16, n_heads=16, n_kv_heads=16,
                           hidden_dim=5504, vocab_size=32064,
                           max_seq_len=2048)
         base = emma_x_vlm_config()
         cfg = VLMConfig(vision=base.vision, llm=llm,
-                        projector=base.projector._replace(out_dim=2048)
-                        if hasattr(base.projector, "_replace")
-                        else base.projector,
                         arch_specifier=base.arch_specifier)
-        stage = "vla-full-train"
+        stage = "vla-train"
 
     B, T = args.batch, args.text_len
     print(f"# config={args.config} stage={stage} attn={args.attn} "
           f"B={B} text_len={T}", file=sys.stderr)
 
+    def mark(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    mark("init params")
     params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    jax.block_until_ready(params)
+    mark("params ready")
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
     tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
                            max_grad_norm=1.0, lr_scheduler_type="constant",
                            total_steps=100, stage=stage)
-    state = create_train_state(params, tx)
+    mark("creating train state (one jitted init)")
+    # one jitted init: eager tx.init dispatches/compiles per leaf shape,
+    # which costs many minutes on the remote-compile relay
+    state = jax.jit(lambda pp: create_train_state(pp, tx))(params)
+    jax.block_until_ready(state.opt_state)
+    mark("train state ready")
     step = jit_train_step(make_train_step(
         cfg, tx, attn_impl=args.attn, remat=True,
-        stop_vision_gradient=(stage == "align"),
+        # frozen-vision stages skip the tower backward entirely; the
+        # freeze mask excludes fully-frozen leaves from differentiation so
+        # no frozen-param-sized gradient tree is ever materialized
+        stop_vision_gradient=(stage in ("align", "vla-train")),
+        freeze_mask=trainable_mask(params, stage),
         compute_dtype=jnp.bfloat16))
 
     rng = np.random.default_rng(0)
@@ -102,8 +121,10 @@ def main():
             .astype(jnp.bfloat16) for name, v in cfg.vision},
     }
 
+    mark("compiling train step")
     state, m = step(state, batch)          # compile
     _ = float(m["loss"])
+    mark("compiled; timing")
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()

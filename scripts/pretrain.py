@@ -59,7 +59,8 @@ def main(cfg: PretrainConfig) -> None:
     from emmax_tpu.training.loop import LoopConfig, run_training
     from emmax_tpu.training.metrics import Metrics, build_trackers
     from emmax_tpu.training.train_state import (create_train_state,
-                                                make_optimizer)
+                                                make_optimizer,
+                                                trainable_mask)
     from emmax_tpu.training.train_step import jit_train_step, make_train_step
     from emmax_tpu.vla.tokenizer import ByteLevelTokenizer, load_tokenizer
 
@@ -145,7 +146,10 @@ def main(cfg: PretrainConfig) -> None:
         vlm_cfg, tx, attn_impl=cfg.attn_impl,
         remat=m.enable_gradient_checkpointing, compute_dtype=compute_dtype,
         transforms=transforms,
-        stop_vision_gradient=(cfg.stage == "align")), mesh=mesh)
+        stop_vision_gradient=(cfg.stage == "align"),
+        # fully-frozen leaves are excluded from differentiation (no
+        # frozen-params-sized gradient tree; see make_train_step)
+        freeze_mask=trainable_mask(state.params, cfg.stage)), mesh=mesh)
     metrics = Metrics(build_trackers(cfg.trackers.split(","), run_id, run_dir))
     state = run_training(
         vlm_cfg=vlm_cfg, state=state, train_step=step_fn, loader=loader,

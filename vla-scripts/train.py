@@ -81,7 +81,8 @@ def main(cfg: TrainConfig) -> None:
     from emmax_tpu.training.metrics import VLADiscreteMetrics, build_trackers
     from emmax_tpu.training.train_state import (create_train_state,
                                                 make_optimizer,
-                                                stage_from_flags)
+                                                stage_from_flags,
+                                                trainable_mask)
     from emmax_tpu.training.train_step import jit_train_step, make_train_step
     from emmax_tpu.vla.action_tokenizer import ActionTokenizer
     from emmax_tpu.vla.solver import Solver
@@ -214,6 +215,9 @@ def main(cfg: TrainConfig) -> None:
         remat=vla.enable_gradient_checkpointing,
         compute_dtype=compute_dtype, transforms=transforms,
         stop_vision_gradient=vla.freeze_vision_backbone,
+        # fully-frozen leaves are excluded from differentiation (no
+        # frozen-params-sized gradient tree; see make_train_step)
+        freeze_mask=trainable_mask(state.params, stage),
         action_vocab_size=tokenizer.vocab_size), mesh=mesh)
     metrics = VLADiscreteMetrics(build_trackers(
         cfg.trackers.split(","), run_id, run_dir,
