@@ -61,20 +61,40 @@ def quant_small():
     opts = GenerateOptions(eos_id=-1)
     n_new = 64
 
+    # TEACHER-FORCED argmax agreement (one prefill over prompt + random
+    # tokens, compare per-position argmax): free-run greedy with random
+    # weights collapses to format-specific fixed points at position 0 and
+    # measures nothing (same lesson as the 7B gate).
+    from emmax_tpu.models.vlm import vlm_forward
+
+    forced = rng.integers(300, 30000, size=256, dtype=np.int32)
+    ids = jnp.asarray([tok.encode(prompt) + list(forced)], jnp.int32)
+
     outs = {}
+    lls = {}
     for fmt in ("bf16", "int8", "int4"):
         if fmt == "bf16":
             p = params
         else:
             p = jax.jit(lambda q: quantize_vlm_params(
                 q, bits=8 if fmt == "int8" else 4))(params)
-        eng = ServingEngine(cfg, p, tok, options=opts)
-        outs[fmt] = np.asarray(
-            eng.generate_ids([prompt], pixels, max_new_tokens=n_new))[0]
+
+        @jax.jit
+        def tf_fwd(p, ids):
+            logits, _, _ = vlm_forward(p, cfg, ids, pixels,
+                                       mask=jnp.ones(ids.shape, jnp.bool_))
+            return logits[0, -256:].astype(jnp.float32)
+
+        ll = np.asarray(tf_fwd(p, ids))
+        outs[fmt] = ll.argmax(-1)
+        lls[fmt] = ll
     agree8 = float((outs["bf16"] == outs["int8"]).mean())
     agree4 = float((outs["bf16"] == outs["int4"]).mean())
-    print(json.dumps({"check": "quant_small", "n_new": n_new,
+    rmse8 = float(np.sqrt(np.mean((lls["bf16"] - lls["int8"]) ** 2)))
+    rmse4 = float(np.sqrt(np.mean((lls["bf16"] - lls["int4"]) ** 2)))
+    print(json.dumps({"check": "quant_small", "n_positions": 256,
                       "int8_agree": agree8, "int4_agree": agree4,
+                      "int8_rmse": rmse8, "int4_rmse": rmse4,
                       "backend": str(__import__("jax").devices()[0])}))
 
 
