@@ -204,9 +204,10 @@ def main():
         # cold-frame draft seed: ONLY a-priori knowledge — a static
         # dictionary of GCOT format-scaffold phrasings (+ instruction words
         # that also appear in the prompt). A deployment ships this with the
-        # model; it never encodes stream content (VERDICT r2 item 1b; the
-        # 3-variant dictionary measured 62 vs 69 cold verifier steps vs a
-        # single template, 111 undrafted).
+        # model; it never encodes stream content (VERDICT r2 item 1b; with
+        # the n-gram lookup the text region costs ~4 cold steps; the
+        # remaining ~55 are action bins with no a-priori draft source —
+        # 60 cold steps total, vs 111 undrafted).
         seed_template = tok.encode(
             "REASONING: the gripper must \nSUBTASK: move the gripper to "
             "the \nNEXT GRIPPER: [1, 1]\nMOVEMENT:\nmove forward 1 steps; "

@@ -83,29 +83,49 @@ def _spec_bf16_oom_risk(params, hbm_bytes: float = 16e9) -> bool:
     return llm_bytes + qkv_bytes > 0.95 * hbm_bytes
 
 
-def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int) -> jax.Array:
-    """Prompt-lookup draft: continuation of the most recent bigram match.
+def _ngram_best(hist: jax.Array, hlen: jax.Array, n: int) -> jax.Array:
+    """Most recent index j with hist[j:j+n] == hist[hlen-n:hlen] and
+    j < hlen - n (the trailing suffix itself is excluded); -1 if none."""
+    B, H = hist.shape
+    suf = jax.vmap(lambda h, s: jax.lax.dynamic_slice(h, (s,), (n,)))(
+        hist, jnp.clip(hlen - n, 0))                               # [B, n]
+    idx = jnp.arange(H - n + 1)
+    m = jnp.ones((B, H - n + 1), jnp.bool_)
+    for i in range(n):
+        m = m & (hist[:, i:H - n + 1 + i] == suf[:, i:i + 1])
+    m = m & (idx[None, :] < (hlen - n)[:, None])
+    return jnp.max(jnp.where(m, idx[None, :], -1), axis=-1)        # [B]
+
+
+def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int,
+                 max_n: int = 5) -> jax.Array:
+    """Prompt-lookup draft: continuation of the longest suffix n-gram match.
 
     hist [B, H] token history (-1 sentinel beyond ``hlen``), hlen [B] valid
-    counts. Matches ``hist[hlen-2:hlen]`` against every earlier bigram and
-    returns the ``k`` tokens following the latest match, or all -1 when no
-    match exists (every -1 draft token is rejected by verification, so the
-    step degrades gracefully to ordinary one-token decode).
+    counts. For n = ``max_n`` down to 2, matches ``hist[hlen-n:hlen]``
+    against every earlier window and returns the ``k`` tokens following the
+    most recent match at the LARGEST matching n, or all -1 when no n
+    matches (every -1 draft token is rejected by verification, so the step
+    degrades gracefully to ordinary one-token decode).
+
+    Longest-match-first disambiguates repeated short patterns: with a
+    byte-level tokenizer a bigram key like ``"e g"`` occurs in both
+    ``"the gripper must"`` and ``"the gripper to"``, and the most recent
+    bigram occurrence is often the wrong continuation — a 5-byte suffix
+    almost always pins the right one (measured: 18 -> 15 verifier steps
+    per warm 96-token GCOT frame, bench.py closed loop). The extra
+    n-gram passes are a few [B, H] compares per step — noise next to the
+    verifier forward.
     """
     B, H = hist.shape
-    last2 = jnp.stack(
-        [jnp.take_along_axis(hist, jnp.clip(hlen - 2, 0)[:, None], 1)[:, 0],
-         jnp.take_along_axis(hist, jnp.clip(hlen - 1, 0)[:, None], 1)[:, 0]],
-        axis=-1)                                                   # [B, 2]
-    idx = jnp.arange(H - 1)
-    m = (hist[:, :-1] == last2[:, :1]) & (hist[:, 1:] == last2[:, 1:2])
-    # exclude the trailing bigram itself and anything beyond valid history
-    m = m & (idx[None, :] < (hlen - 2)[:, None])
-    jbest = jnp.max(jnp.where(m, idx[None, :], -1), axis=-1)       # [B]
-    start = jnp.clip(jbest + 2, 0, H - k)
-    draft = jax.vmap(
-        lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,)))(hist, start)
-    return jnp.where((jbest >= 0)[:, None], draft, -1)
+    draft = jnp.full((B, k), -1, jnp.int32)
+    for n in range(2, max_n + 1):        # ascending: larger n overrides
+        jbest = _ngram_best(hist, hlen, n)
+        start = jnp.clip(jbest + n, 0, H - k)
+        d = jax.vmap(
+            lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,)))(hist, start)
+        draft = jnp.where((jbest >= 0)[:, None], d, draft)
+    return draft
 
 
 def _spec_prefill_impl(params, cfg: VLMConfig, input_ids, mask,
@@ -438,6 +458,14 @@ class SpeculativeEngine(ServingEngine):
             ctx = np.asarray(draft_context, np.int32)
             if ctx.ndim == 1:
                 ctx = np.tile(ctx[None], (len(prompts), 1))
+            # prepend the prompt tail so the (prompt end -> first output
+            # token) boundary pattern exists inside the context: without it
+            # the lookup's suffix n-gram straddling "...Out:" + "R" has no
+            # earlier occurrence and the first ~2 steps of EVERY frame emit
+            # one token each (measured in the bench closed loop). The
+            # prompt is right-aligned after _prepare, so [:, -m:] is valid.
+            m = min(8, ids_np.shape[1])
+            ctx = np.concatenate([ids_np[:, -m:], ctx], axis=1)
             C = _round_up(max(ctx.shape[1], 1))
             pad = np.full((ctx.shape[0], C - ctx.shape[1]), -1, np.int32)
             ctx = jnp.asarray(np.concatenate([ctx, pad], axis=1))

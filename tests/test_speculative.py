@@ -63,6 +63,37 @@ def test_lookup_draft_ignores_stale_region_beyond_hlen():
     np.testing.assert_array_equal(draft[0], [1, 2])  # from the real match
 
 
+def test_lookup_draft_longest_suffix_wins_over_recent_bigram():
+    # suffix ...[1, 2, 3]: the RECENT bigram [2, 3] (-> 9) would mispredict;
+    # the older trigram [1, 2, 3] (-> 7) is the right continuation and the
+    # n-gram cascade must prefer it ("the gripper must" vs "the gripper to")
+    hist, hlen = _hist([[1, 2, 3, 7, 8, 5, 2, 3, 9, 4, 1, 2, 3]])
+    draft = np.asarray(lookup_draft(hist, hlen, 2))
+    np.testing.assert_array_equal(draft[0], [7, 8])
+
+
+def test_generate_ids_prepends_prompt_tail_to_draft_context(setup):
+    # with draft_context == the exact greedy output, the decode-start
+    # boundary (prompt end -> first token) must be draftable: far fewer
+    # verifier steps than undrafted, and output still exactly greedy
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    pixels = _pixels(cfg, np.random.default_rng(3), 1)
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=6)
+    prompt = "In: move the cup\nOut:"
+    ref = plain.generate_ids([prompt], pixels, max_new_tokens=24)
+    undrafted = spec.generate_ids([prompt], pixels, max_new_tokens=24)
+    steps_undrafted = spec.last_steps
+    out = spec.generate_ids([prompt], pixels, max_new_tokens=24,
+                            draft_context=np.asarray(ref[0], np.int32))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(undrafted))
+    # perfect context + boundary tail -> near-minimal steps
+    assert spec.last_steps <= max(2, steps_undrafted // 2), (
+        spec.last_steps, steps_undrafted)
+
+
 # ------------------------------------------------------------- end-to-end
 
 def test_speculative_matches_plain_greedy(setup):
