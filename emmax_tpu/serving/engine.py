@@ -257,7 +257,14 @@ class ServingEngine:
             self.vision_cache.store(fp, patches)
         return {"patches": patches}
 
-    def _prepare(self, prompts, suffix_ids=()) -> Tuple[jax.Array, jax.Array]:
+    def _prepare_host(self, prompts,
+                      suffix_ids=()) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side (ids, mask) numpy arrays, LEFT-padded to a bucket.
+
+        Callers that need BOTH the host and device copies must start from
+        this and jnp.asarray the result themselves: ``np.asarray`` on a
+        freshly-created device array is a ~28 ms relay round-trip on this
+        image's remote TPU (measured; the h2d direction is ~1 ms)."""
         enc = [self.tokenizer.encode(p) + list(suffix_ids) for p in prompts]
         bucket = pick_bucket(max(len(e) for e in enc), self.buckets)
         pad = self.tokenizer.pad_id
@@ -267,6 +274,10 @@ class ServingEngine:
             e = e[:bucket]
             ids[i, bucket - len(e):] = e     # LEFT pad
             mask[i, bucket - len(e):] = True
+        return ids, mask
+
+    def _prepare(self, prompts, suffix_ids=()) -> Tuple[jax.Array, jax.Array]:
+        ids, mask = self._prepare_host(prompts, suffix_ids)
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def generate_ids(self, prompts, pixel_values: Dict[str, jax.Array],

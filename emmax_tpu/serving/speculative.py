@@ -436,8 +436,11 @@ class SpeculativeEngine(ServingEngine):
             return super().generate_ids(prompts, pixel_values,
                                         max_new_tokens=max_new_tokens,
                                         suffix_ids=suffix_ids)
-        ids, mask = self._prepare(prompts, suffix_ids)
-        ids_np, mask_np = np.asarray(ids), np.asarray(mask)
+        # host copies FIRST: np.asarray on the fresh device arrays would be
+        # two ~28 ms relay read-backs per frame (measured — the d2h fetch,
+        # not the dispatch, is the expensive relay primitive)
+        ids_np, mask_np = self._prepare_host(prompts, suffix_ids)
+        ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
         max_new = max_new_tokens or self.options.max_new_tokens
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new
                               + self.draft_k + 1)
