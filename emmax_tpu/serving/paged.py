@@ -247,10 +247,12 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
                         paged_attn: str = "gather"):
     """``burst`` greedy tokens for all active slots inside ONE jitted scan
     (one dispatch + one fetch per burst — the remote-TPU relay charges
-    ~28 ms per call and ~30 ms per fetch, so per-token stepping is
-    dispatch-bound). The caller must pre-allocate pages covering
-    ``len + burst`` for every active slot. Returns (pool, emitted
-    [B, burst] — eos-padded for inactive rows)."""
+    ~28 ms per device→host fetch, so per-token stepping is round-trip
+    bound). The caller must pre-allocate pages covering ``len + burst``
+    for every active slot. Returns (pool, packed [B, burst+3] int32):
+    emitted tokens (eos-padded for inactive rows) then post-burst
+    [active, len, remaining] columns — everything the host scheduler
+    needs, in ONE fetch."""
 
     def step(carry, _):
         pool = carry
@@ -272,7 +274,9 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         return pool, emitted
 
     pool, emitted = jax.lax.scan(step, pool, None, length=burst)
-    return pool, emitted.T
+    status = jnp.stack([pool["active"].astype(jnp.int32),
+                        pool["len"], pool["remaining"]], axis=1)
+    return pool, jnp.concatenate([emitted.T, status], axis=1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "scratch_len", "attn_impl"))
@@ -347,6 +351,9 @@ class _Request:
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     n_pages: int = 0
+    # host mirror of this slot's page-table row (pages are assigned by the
+    # host, so the table never needs a device read-back)
+    page_ids: List[int] = dataclasses.field(default_factory=list)
 
 
 class PagedServingEngine:
@@ -386,6 +393,10 @@ class PagedServingEngine:
             max_pages_per_slot=max_pages_per_slot, dtype=compute_dtype,
             quantized=quantized_cache)
         self.free_pages: List[int] = list(range(n_pages))
+        # host mirrors of the per-slot scheduler state; refreshed from the
+        # burst's packed status (one fetch) and set directly at admission
+        self._len = np.zeros((num_slots,), np.int64)
+        self._remaining = np.zeros((num_slots,), np.int64)
         self._ids = itertools.count()
         self.queue: List[_Request] = []
         self.running: Dict[int, _Request] = {}
@@ -439,17 +450,23 @@ class PagedServingEngine:
                 page_size=self.page_size, n_pages=self.n_pages)
             req.slot = slot
             req.n_pages = n0
+            req.page_ids = list(int(p) for p in page_ids)
+            # fused prompt length is host-known: the prefill's `used` is
+            # exactly prompt_len + num_patches (all-ones mask, B=1)
+            self._len[slot] = fused
+            self._remaining[slot] = req.max_new_tokens
             self.running[slot] = req
 
-    def _ensure_pages(self, lens: np.ndarray) -> bool:
+    def _ensure_pages(self) -> bool:
         """Grow page tables so every running slot can write its next burst
         (capped at its remaining token budget — a nearly-finished slot must
-        not demand pages it will never write). Returns False only if the
-        pool is genuinely exhausted."""
-        remaining = np.asarray(self.pool["remaining"])
+        not demand pages it will never write). Works entirely off the host
+        mirrors (no device reads). Returns False only if the pool is
+        genuinely exhausted."""
         for slot, req in self.running.items():
-            headroom = max(1, min(self.burst, int(remaining[slot])))
-            needed = (int(lens[slot]) + headroom - 1) // self.page_size + 1
+            headroom = max(1, min(self.burst, int(self._remaining[slot])))
+            needed = (int(self._len[slot]) + headroom - 1) \
+                // self.page_size + 1
             needed = min(needed, self.max_pages_per_slot)
             while req.n_pages < needed:
                 if not self.free_pages:
@@ -459,6 +476,7 @@ class PagedServingEngine:
                                          jnp.int32(req.n_pages),
                                          jnp.int32(page))
                 req.n_pages += 1
+                req.page_ids.append(page)
         return True
 
     def step(self) -> List[Tuple[int, List[int]]]:
@@ -467,17 +485,19 @@ class PagedServingEngine:
         self._admit()
         if not self.running:
             return []
-        lens = np.asarray(self.pool["len"])
-        if not self._ensure_pages(lens):
+        if not self._ensure_pages():
             raise RuntimeError("page pool exhausted mid-decode; add pages "
                                "or lower num_slots")
-        self.pool, emitted = _paged_decode_burst(
+        self.pool, packed = _paged_decode_burst(
             self.params["llm"], self.cfg.llm, self.pool,
             page_size=self.page_size, n_pages=self.n_pages,
             burst=self.burst, eos_id=self.tokenizer.eos_id,
             paged_attn=self.paged_attn)
-        emitted = np.asarray(emitted)
-        active_after = np.asarray(self.pool["active"])
+        packed = np.asarray(packed)          # ONE fetch per burst
+        emitted = packed[:, :self.burst]
+        active_after = packed[:, self.burst].astype(bool)
+        self._len = packed[:, self.burst + 1].copy()
+        self._remaining = packed[:, self.burst + 2].copy()
         done_now = []
         for slot, req in list(self.running.items()):
             for tok in emitted[slot]:
@@ -489,8 +509,8 @@ class PagedServingEngine:
                 self.finished[req.request_id] = req.tokens[:req.max_new_tokens]
                 done_now.append((req.request_id,
                                  self.finished[req.request_id]))
-                table = np.asarray(self.pool["page_table"][slot])
-                self.free_pages.extend(int(p) for p in table if p >= 0)
+                self.free_pages.extend(req.page_ids)
+                req.page_ids = []
                 del self.running[slot]
         return done_now
 
