@@ -28,7 +28,8 @@ Off-TPU (CPU tests) an XLA gather fallback materializes the per-slot view
 
 The round-2 engine gathered the FULL per-slot cache every layer every step
 (VERDICT r2 weak #3: 123 vs 399 agg tok/s for the dense pool); v2 removes
-that copy entirely.
+that copy entirely. v3 admission prefills DIRECTLY into the pages (one
+jitted call, no dense scratch cache — see ``_prefill_into_pool``).
 
 The reference has no serving stack at all (HF ``generate``, batch=1,
 ``modeling_prismatic.py:326``); both engines are beyond-reference.
@@ -45,10 +46,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emmax_tpu.models.llama import (embed_tokens, init_kv_cache, layer_slice,
-                                    mm)
-from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal,
-                                  llm_apply)
+from emmax_tpu.models.llama import embed_tokens, layer_slice, mm
+from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal)
 from emmax_tpu.ops.attention import multi_head_attention
 from emmax_tpu.ops.norms import rms_norm
 from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -279,57 +278,106 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
     return pool, jnp.concatenate([emitted.T, status], axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "scratch_len", "attn_impl"))
-def _prefill_request(params, cfg: VLMConfig, input_ids, mask, pixel_values,
-                     *, scratch_len: int, attn_impl: str = "xla"):
-    """B=1 multimodal prefill into a dense scratch cache (paged copy-in
-    happens on the host side, page by page)."""
-    compute_dtype = params["llm"]["embed"].dtype
-    cache = init_kv_cache(cfg.llm, 1, scratch_len, dtype=compute_dtype)
+@partial(jax.jit, donate_argnums=(2,),
+         static_argnames=("cfg", "page_size", "n_pages", "attn_impl"))
+def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
+                       page_ids, slot, max_new, *, page_size: int,
+                       n_pages: int, attn_impl: str = "xla"):
+    """B=1 multimodal prefill written DIRECTLY into the slot's pages.
+
+    v3 admission: one jitted call. The v2 path ran `llm_apply` into a dense
+    [L, 1, S, KV, hd] scratch cache (a separate jit output — ~0.5 GB
+    written to and read back from HBM at 7B shapes) and then a second
+    donated jit scattered it into the pool. Here each layer's K/V rows go
+    straight into the page pool inside the layer loop, so the scratch is
+    never allocated, its HBM round trip disappears, and admission costs ONE
+    relay dispatch instead of two. Attention during prefill uses the
+    in-flight per-layer K/V (plain causal), not a cache read-back, and the
+    lm_head matmul runs on the LAST position only (the reference computes
+    full-sequence logits it never uses, ``prismatic.py:474-485``).
+
+    The engine always admits unpadded B=1 prompts, so the fused length
+    equals the static sequence length and the whole K/V (padded to the page
+    boundary) is live."""
+    llm_cfg = cfg.llm
+    stride = n_pages + 1
+    n0 = page_ids.shape[0]
+    quantized = "k_scale" in pool
+
     patch_embeds = encode_images(params, cfg, pixel_values,
                                  attn_impl=attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
+    mask = jnp.ones(input_ids.shape, jnp.bool_)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
                                                   mask, None)
-    logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
-                              positions=positions, kv_cache=cache,
-                              attn_impl=attn_impl)
-    first = jnp.argmax(logits[:, -1].astype(jnp.float32), -1)[0]
-    used = positions[0, -1] + 1
-    return first.astype(jnp.int32), cache["k"], cache["v"], used
+    B, S, _ = embeds.shape
+    cos, sin = rope_cos_sin(positions, llm_cfg.head_dim, llm_cfg.rope_theta)
+    kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim
+    pad = n0 * page_size - S
 
+    def to_pages(rows):                      # [1, S, KV, hd] -> [KV, n0, ps, hd]
+        rows = jnp.pad(rows[0], ((0, pad), (0, 0), (0, 0)))
+        return rows.reshape(n0, page_size, kv, hd).transpose(2, 0, 1, 3)
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("page_size", "slot",
-                                                        "n_pages"))
-def _insert_pages(pool, slot: int, k_scratch, v_scratch, page_ids, used,
-                  first_tok, max_new, *, page_size: int, n_pages: int):
-    """Scatter a dense prefill cache ([L, 1, S, KV, hd]) into the assigned
-    pages of every layer's range."""
-    n = page_ids.shape[0]
-    L = k_scratch.shape[0]
-    stride = n_pages + 1
-    # [L, n*ps, KV, hd] -> [KV, L, n, ps, hd]
-    k_src = k_scratch[:, 0, : n * page_size].reshape(
-        L, n, page_size, *k_scratch.shape[-2:]).transpose(3, 0, 1, 2, 4)
-    v_src = v_scratch[:, 0, : n * page_size].reshape(
-        L, n, page_size, *v_scratch.shape[-2:]).transpose(3, 0, 1, 2, 4)
-    gids = jnp.arange(L, dtype=jnp.int32)[:, None] * stride + page_ids[None]
-    pool = dict(pool)
-    if "k_scale" in pool:
-        k_q, k_s = _row_quantize(k_src)
-        v_q, v_s = _row_quantize(v_src)
-        pool["k"] = pool["k"].at[:, gids].set(k_q)
-        pool["v"] = pool["v"].at[:, gids].set(v_q)
-        pool["k_scale"] = pool["k_scale"].at[:, gids].set(k_s)
-        pool["v_scale"] = pool["v_scale"].at[:, gids].set(v_s)
+    def write(pages, src, i, j):
+        # scalar-start DUS per page (see _write_rows: advanced-index scatter
+        # across the huge page axis lowers ~5x slower)
+        gid = i * stride + page_ids[j]
+        return jax.lax.dynamic_update_slice(
+            pages, src[:, j][:, None].astype(pages.dtype), (0, gid, 0, 0))
+
+    def body(i, carry):
+        if quantized:
+            h, k_pool, v_pool, ks_pool, vs_pool = carry
+        else:
+            h, k_pool, v_pool = carry
+            ks_pool = vs_pool = None
+        p = layer_slice(params["llm"]["layers"], i)
+        x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
+        q = mm(x, p["wq"]).reshape(B, S, llm_cfg.n_heads, hd)
+        k = mm(x, p["wk"]).reshape(B, S, kv, hd)
+        v = mm(x, p["wv"]).reshape(B, S, kv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_pg, v_pg = to_pages(k), to_pages(v)
+        if quantized:
+            k_pg, k_s = _row_quantize(k_pg)
+            v_pg, v_s = _row_quantize(v_pg)
+        for j in range(n0):                  # static unroll, n0 small
+            k_pool = write(k_pool, k_pg, i, j)
+            v_pool = write(v_pool, v_pg, i, j)
+            if quantized:
+                ks_pool = write(ks_pool, k_s, i, j)
+                vs_pool = write(vs_pool, v_s, i, j)
+        attn = multi_head_attention(q, k, v, kv_mask=fmask, causal=True,
+                                    impl=attn_impl)
+        h = h + mm(attn.reshape(B, S, -1), p["wo"])
+        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
+        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
+                   p["w_down"])
+        if quantized:
+            return (h, k_pool, v_pool, ks_pool, vs_pool)
+        return (h, k_pool, v_pool)
+
+    if quantized:
+        init = (embeds, pool["k"], pool["v"], pool["k_scale"],
+                pool["v_scale"])
+        h, k_pool, v_pool, ks_pool, vs_pool = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, init)
+        pool = dict(pool, k=k_pool, v=v_pool, k_scale=ks_pool,
+                    v_scale=vs_pool)
     else:
-        pool["k"] = pool["k"].at[:, gids].set(k_src.astype(pool["k"].dtype))
-        pool["v"] = pool["v"].at[:, gids].set(v_src.astype(pool["v"].dtype))
+        h, k_pool, v_pool = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, (embeds, pool["k"], pool["v"]))
+        pool = dict(pool, k=k_pool, v=v_pool)
+    h = rms_norm(h[:, -1:], params["llm"]["final_norm"], llm_cfg.norm_eps)
+    first = jnp.argmax(
+        mm(h, params["llm"]["lm_head"]).astype(jnp.float32)[0, 0])
     table_row = jnp.full((pool["page_table"].shape[1],), -1, jnp.int32)
-    table_row = table_row.at[:n].set(page_ids)
+    table_row = table_row.at[:n0].set(page_ids)
     pool["page_table"] = pool["page_table"].at[slot].set(table_row)
-    pool["len"] = pool["len"].at[slot].set(used.astype(jnp.int32))
-    pool["cur"] = pool["cur"].at[slot].set(first_tok)
+    pool["len"] = pool["len"].at[slot].set(jnp.int32(S))
+    pool["cur"] = pool["cur"].at[slot].set(first.astype(jnp.int32))
     pool["remaining"] = pool["remaining"].at[slot].set(max_new)
     pool["active"] = pool["active"].at[slot].set(True)
     return pool
@@ -436,18 +484,14 @@ class PagedServingEngine:
             self.queue.pop(0)
             slot = free_slots.pop(0)
             fused = req.prompt_ids.shape[1] + self.cfg.num_patches
-            scratch = -(-fused // 128) * 128
-            first, k_s, v_s, used = _prefill_request(
-                self.params, self.cfg, jnp.asarray(req.prompt_ids),
-                jnp.ones(req.prompt_ids.shape, jnp.bool_), req.pixel_values,
-                scratch_len=max(scratch, n0 * self.page_size),
-                attn_impl=self.attn_impl)
             page_ids = np.asarray([self.free_pages.pop(0)
                                    for _ in range(n0)], np.int32)
-            self.pool = _insert_pages(
-                self.pool, slot, k_s, v_s, jnp.asarray(page_ids), used,
-                first, jnp.int32(req.max_new_tokens),
-                page_size=self.page_size, n_pages=self.n_pages)
+            self.pool = _prefill_into_pool(
+                self.params, self.cfg, self.pool,
+                jnp.asarray(req.prompt_ids), req.pixel_values,
+                jnp.asarray(page_ids), jnp.int32(slot),
+                jnp.int32(req.max_new_tokens), page_size=self.page_size,
+                n_pages=self.n_pages, attn_impl=self.attn_impl)
             req.slot = slot
             req.n_pages = n0
             req.page_ids = list(int(p) for p in page_ids)
