@@ -21,10 +21,19 @@ Layout (per weight ``w: [..., D, F]``):
   nibble → ``q4: [..., D/2, F]`` int8. Unpacking is then **zero shuffles**
   — each nibble plane is a contiguous [D/2, F] tile feeding the MXU.
 - ``D % (2 * group) == 0`` so no group straddles the half boundary.
+- the HIGH nibble is two's-complement; the LOW nibble is stored BIASED
+  (+8, so levels [-7,7] pack as [1,15]). Unpack is then TWO int32 ops per
+  byte: ``hi = b >> 4`` (one arithmetic shift sign-extends AND floors away
+  the low bits, since ``lo_u ∈ [0,16)``) and ``lo_u = b & 15``; the −8 bias
+  never touches the weight tile — it folds into the f32 epilogue as
+  ``−8·rowsum(x_lo)`` per group (BM adds, vs group·BN element fixups).
 
-Sign-extension runs as int32 shift pairs (``(b<<28)>>28`` / ``(b<<24)>>28``)
-— measured fastest of the Mosaic-legal variants on v5e (int8 shifts do not
-legalize; an AND + bf16-arithmetic scheme was ~40% slower end to end).
+Round-2 history: sign-extension as int32 shift PAIRS (``(b<<28)>>28`` /
+``(b<<24)>>28``) measured fastest of the then-tried Mosaic-legal variants
+(int8 shifts do not legalize; an AND + bf16-arithmetic scheme was ~40%
+slower end to end). Round 3 replaced it with the biased-low format above:
+the decode loop is VPU-unpack-bound, not HBM-bound, so halving the
+per-byte op count beats any DMA tweak.
 
 Kernel schedule: grid over (M tiles, F tiles); each program keeps an f32
 accumulator and statically unrolls the K-groups, doing per group two
@@ -91,7 +100,7 @@ def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP) -> Dict[str, Any]:
     q = np.clip(np.round(grouped / scale), -7, 7).astype(np.int32)
     q = q.reshape(w.shape)
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
-    packed = ((hi << 4) | (lo & 0xF)).astype(np.int8)
+    packed = ((hi << 4) | (lo + 8)).astype(np.int8)   # low nibble biased +8
     return {"q4": packed,
             "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
 
@@ -109,26 +118,27 @@ def quantize_weight_int4(w: jax.Array,
     q = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int32)
     q = q.reshape(w.shape)
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
-    packed = (jnp.left_shift(hi, 4) | (lo & 0xF)).astype(jnp.int8)
+    packed = (jnp.left_shift(hi, 4) | (lo + 8)).astype(jnp.int8)
     return {"q4": packed,
             "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
 
 
-def _sign_extend_low(b32):
-    return jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(b32, 28), jnp.int32(28))
+def _low_biased(b32):
+    """Biased low nibble, UNSIGNED [1, 15] (true level = this − 8)."""
+    return b32 & 0xF
 
 
-def _sign_extend_high(b32):
-    return jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(b32, 24), jnp.int32(28))
+def _high_signed(b32):
+    """Two's-complement high nibble via ONE arithmetic shift: the byte is
+    ``hi·16 + lo_u`` with ``lo_u ∈ [0,16)``, so ``b >> 4 = hi`` exactly."""
+    return jax.lax.shift_right_arithmetic(b32, jnp.int32(4))
 
 
 def unpack_planes(q4: jax.Array):
     """int8 ``[..., D/2, F]`` → (lo levels, hi levels) as f32, signed."""
     b = q4.astype(jnp.int32)
-    return (_sign_extend_low(b).astype(jnp.float32),
-            _sign_extend_high(b).astype(jnp.float32))
+    return ((_low_biased(b) - 8).astype(jnp.float32),
+            _high_signed(b).astype(jnp.float32))
 
 
 def dequantize_weight_int4(qw: Dict[str, Any], dtype=jnp.float32) -> jax.Array:
@@ -168,14 +178,16 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
             b = q4_ref[g * group:(g + 1) * group, :].astype(jnp.int32)
             s_lo = s_ref[g, :][None, :]
             s_hi = s_ref[g_half + g, :][None, :]
-        lo = _sign_extend_low(b).astype(jnp.bfloat16)   # [group, BN]
-        hi = _sign_extend_high(b).astype(jnp.bfloat16)
+        lo = _low_biased(b).astype(jnp.bfloat16)        # [group, BN], +8
+        hi = _high_signed(b).astype(jnp.bfloat16)
         x_lo = x[:, g * group:(g + 1) * group].astype(jnp.bfloat16)
         x_hi = x[:, d_half + g * group:
                  d_half + (g + 1) * group].astype(jnp.bfloat16)
         p_lo = jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
         p_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
-        part = p_lo * s_lo + p_hi * s_hi
+        # undo the +8 low-nibble bias on [BM, 1] instead of [group, BN]
+        fix = 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        part = (p_lo - fix) * s_lo + p_hi * s_hi
         acc = part if acc is None else acc + part
     o_ref[:] = acc.astype(o_ref.dtype)
 
