@@ -83,6 +83,147 @@ def _write_rows(pages, rows, gids, offs):
     return jax.lax.fori_loop(0, B, body, pages)
 
 
+def _q_grouped(q, kv: int):
+    """[B, 1, H, hd] -> [B, KV, G, hd] grouped for GQA (head k*G+g reads kv
+    head k — matches ``_repeat_kv``'s ``jnp.repeat`` layout)."""
+    B, _, H, hd = q.shape
+    return q[:, 0].reshape(B, kv, H // kv, hd)
+
+
+def _gather2_attention(q, k_pages, v_pages, k_scale, v_scale, table_l,
+                       lengths, *, page_size: int):
+    """Decode attention over gathered pages in HEAD-MAJOR layout.
+
+    Like ``gather`` but the einsums consume the gathered ``[KV, B, S, hd]``
+    view directly — the ``[B, S, KV, hd]`` transpose (a second materialized
+    full-cache-size copy per layer per step) never exists."""
+    B, MP = table_l.shape
+    kv, _, _, hd = k_pages.shape
+    S = MP * page_size
+    q2 = _q_grouped(q, kv)                                 # [B, KV, G, hd]
+    k_c = jnp.take(k_pages, table_l.reshape(-1), axis=1)
+    v_c = jnp.take(v_pages, table_l.reshape(-1), axis=1)
+    if k_scale is not None:
+        ks = jnp.take(k_scale, table_l.reshape(-1), axis=1)
+        vs = jnp.take(v_scale, table_l.reshape(-1), axis=1)
+        k_c = _row_dequantize(k_c, ks, q.dtype)
+        v_c = _row_dequantize(v_c, vs, q.dtype)
+    k_c = k_c.reshape(kv, B, S, hd)
+    v_c = v_c.reshape(kv, B, S, hd)
+    s = jnp.einsum("bkgd,kbsd->bkgs", q2, k_c,
+                   preferred_element_type=jnp.float32) * (hd ** -0.5)
+    valid = jnp.arange(S)[None] < lengths[:, None]         # [B, S]
+    s = jnp.where(valid[:, None, None], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgs,kbsd->bkgd", w.astype(q.dtype), v_c)
+    return out.reshape(B, 1, -1, hd)                       # [B, 1, H, hd]
+
+
+def _pagescan_attention(q, k_pages, v_pages, k_scale, v_scale, table_l,
+                        lengths, *, page_size: int):
+    """Flash-style page walk in plain XLA: ``fori_loop`` over the page-table
+    width with online softmax. Each iteration gathers ONE page per slot
+    ([KV, B, ps, hd] — small enough to stay fused with its dot), so the
+    full-view gather buffer of the ``gather``/``gather2`` paths (max-pages ×
+    page-size per slot, written then re-read from HBM) never materializes;
+    pages stream from the pool exactly once."""
+    B, MP = table_l.shape
+    kv, _, _, hd = k_pages.shape
+    q2 = _q_grouped(q, kv).astype(jnp.float32)             # [B, KV, G, hd]
+    G = q2.shape[2]
+    scale = hd ** -0.5
+    pos = jnp.arange(page_size)
+
+    def chunk(j, acc):
+        m, den, num = acc
+        ids = table_l[:, j]                                # [B]
+        kj = jnp.take(k_pages, ids, axis=1)                # [KV, B, ps, hd]
+        vj = jnp.take(v_pages, ids, axis=1)
+        if k_scale is not None:
+            kj = _row_dequantize(kj, jnp.take(k_scale, ids, axis=1),
+                                 jnp.float32)
+            vj = _row_dequantize(vj, jnp.take(v_scale, ids, axis=1),
+                                 jnp.float32)
+        s = jnp.einsum("bkgd,kbpd->bkgp", q2, kj.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        valid = (j * page_size + pos)[None] < lengths[:, None]   # [B, ps]
+        s = jnp.where(valid[:, None, None], s, -jnp.inf)
+        mj = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        c = jnp.exp(m - mj)
+        sj = jnp.exp(s - mj)                               # [B, KV, G, ps]
+        den = den * c + jnp.sum(sj, axis=-1, keepdims=True)
+        num = num * c + jnp.einsum(
+            "bkgp,kbpd->bkgd", sj, vj.astype(jnp.float32))
+        return mj, den, num
+
+    init = (jnp.full((B, kv, G, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((B, kv, G, 1), jnp.float32),
+            jnp.zeros((B, kv, G, hd), jnp.float32))
+    m, den, num = jax.lax.fori_loop(0, MP, chunk, init)
+    out = num / jnp.maximum(den, 1e-30)
+    return out.reshape(B, 1, -1, hd).astype(q.dtype)
+
+
+def _poolmask_attention(q, k_pages, v_pages, k_scale, v_scale, layer,
+                        stride, page_owner, page_pos, lengths, *,
+                        page_size: int):
+    """Decode attention over the WHOLE layer pool with an ownership mask —
+    no gather at all.
+
+    The TPU-native observation: the page pool is typically SMALLER than the
+    per-slot dense reservation (that is why paging exists), so reading every
+    pool row once with regular dense einsums costs less HBM traffic than
+    materializing per-slot gathered views (which are written and then
+    re-read). Each query row attends to every pool token, masked to the
+    pages its slot owns: ``page_owner [n_pages+1]`` (slot id, -1 = free or
+    trash) and ``page_pos`` (page rank within its slot) are host-maintained
+    and passed per burst; token ``(p, o)`` is visible to slot ``b`` iff
+    ``owner[p] == b and pos[p]*ps + o < len[b]``. Extra masked-score FLOPs
+    are MXU change (~2 GFLOP/layer at 7B shapes vs the 3.5 GB weight read).
+    """
+    B = lengths.shape[0]
+    kv, _, _, hd = k_pages.shape
+    P = stride                                          # pages incl. trash
+    q2 = _q_grouped(q, kv)                              # [B, KV, G, hd]
+    k_l = jax.lax.dynamic_slice_in_dim(k_pages, layer * stride, stride, 1)
+    v_l = jax.lax.dynamic_slice_in_dim(v_pages, layer * stride, stride, 1)
+    S = P * page_size
+    if k_scale is not None:
+        ks = jax.lax.dynamic_slice_in_dim(k_scale, layer * stride, stride, 1)
+        vs = jax.lax.dynamic_slice_in_dim(v_scale, layer * stride, stride, 1)
+        # fold the per-row k scale into the SCORES (not a dequantized copy
+        # of k): s[b,:,:,p*ps+o] *= ks[p,o]; fold v's into the probs.
+        ksf = ks.reshape(kv, S)                          # [KV, S] f32
+        vsf = vs.reshape(kv, S)
+    # bf16 einsum operands with f32 accumulation: int8 page values are
+    # exactly representable in bf16, the per-row scales fold into the f32
+    # SCORES/probs — no f32 dequantized copy of the pool slice ever
+    # materializes (measured: the f32-operand version wrote ~146 MB/layer
+    # of converts, ~+5 ms/step at 7B shapes). CPU's dot thunk cannot mix
+    # bf16 operands with an f32 accumulator, so tests fall back to f32.
+    opd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    k_l = k_l.reshape(kv, S, hd).astype(opd)
+    v_l = v_l.reshape(kv, S, hd).astype(opd)
+    s = jnp.einsum("bkgd,ksd->bkgs", q2.astype(opd), k_l,
+                   preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if k_scale is not None:
+        s = s * (ksf / _MAX_INT8)[None, :, None, :]
+    # ownership mask: token (p, o) visible to row b iff owner[p] == b and
+    # pos[p] * ps + o < len[b]
+    tok_owner = jnp.repeat(page_owner, page_size)        # [S]
+    tok_pos = (jnp.repeat(page_pos, page_size) * page_size
+               + jnp.tile(jnp.arange(page_size), P))     # [S]
+    visible = ((tok_owner[None] == jnp.arange(B)[:, None])
+               & (tok_pos[None] < lengths[:, None]))     # [B, S]
+    s = jnp.where(visible[:, None, None], s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1)
+    if k_scale is not None:
+        w = w * (vsf / _MAX_INT8)[None, :, None, :]
+    out = jnp.einsum("bkgs,ksd->bkgd", w.astype(opd), v_l,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, 1, -1, hd).astype(q.dtype)
+
+
 def init_paged_pool(cfg, *, n_pages: int, page_size: int, num_slots: int,
                     max_pages_per_slot: int, dtype=jnp.bfloat16,
                     quantized: bool = False) -> Dict:
@@ -129,7 +270,8 @@ def _pick_ppcb(max_pages: int) -> int:
 
 
 def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
-                     n_pages: int, paged_attn: str = "gather"):
+                     n_pages: int, paged_attn: str = "gather",
+                     page_owner=None, page_pos=None):
     """One greedy token for every active slot, K/V in pages (trace-level
     body shared by the jitted single step and the burst scan)."""
     B, MP = pool["page_table"].shape
@@ -195,6 +337,16 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
                 lengths, table_l,
                 pages_per_compute_block=_pick_ppcb(MP))
             attn = attn[:, None].astype(h.dtype)        # [B, 1, H, hd]
+        elif paged_attn == "gather2":
+            attn = _gather2_attention(q, k_pages, v_pages, k_scale, v_scale,
+                                      table_l, lengths, page_size=page_size)
+        elif paged_attn == "poolmask":
+            attn = _poolmask_attention(q, k_pages, v_pages, k_scale, v_scale,
+                                       i, stride, page_owner, page_pos,
+                                       lengths, page_size=page_size)
+        elif paged_attn == "pagescan":
+            attn = _pagescan_attention(q, k_pages, v_pages, k_scale, v_scale,
+                                       table_l, lengths, page_size=page_size)
         else:
             # XLA gather fallback (CPU tests / non-TPU backends)
             k_c = jnp.take(k_pages, table_l.reshape(-1), axis=1)
@@ -239,11 +391,194 @@ _paged_decode_step = partial(jax.jit, static_argnames=(
     "llm_cfg", "page_size", "n_pages", "paged_attn"))(_paged_step_body)
 
 
-@partial(jax.jit, static_argnames=("llm_cfg", "page_size", "n_pages",
-                                   "burst", "eos_id", "paged_attn"))
+def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
+                             n_pages: int, burst: int, eos_id: int):
+    """Burst decode against a CONTIGUOUS per-slot scratch cache.
+
+    The irregular work — gathering each slot's pages into a dense
+    ``[KV, L, B, S, hd]`` view — happens ONCE per burst, not once per
+    layer per step (the ``gather``/``gather2`` paths re-gathered every
+    step: 31/32 of that traffic was redundant, since page tables only
+    change at burst boundaries). The hot loop is then the dense engine's
+    regular attention over the scratch (int8 rows with scales folded into
+    f32 scores/probs, or bf16), new K/V rows are written to the scratch,
+    and at burst end only the TOUCHED pages (≤ 2 per slot per layer, since
+    ``burst <= page_size``) are copied back into the pool. TPU-native
+    trade: coarse-grained DMA-friendly gathers at the boundary, perfectly
+    regular compute inside.
+    """
+    B, MP = pool["page_table"].shape
+    stride = n_pages + 1
+    S = MP * page_size
+    L = llm_cfg.n_layers
+    kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim
+    quantized = "k_scale" in pool
+    len0 = pool["len"]                                  # [B] at burst start
+    local_table = jnp.where(pool["page_table"] >= 0, pool["page_table"],
+                            n_pages)                    # [B, MP], trash=-1
+    # all-layer global page ids + one big gather into the scratch
+    ids_all = (jnp.arange(L)[:, None, None] * stride
+               + local_table[None]).reshape(-1)         # [L*B*MP]
+
+    def to_scratch(pages):
+        g = jnp.take(pages, ids_all, axis=1)
+        return g.reshape(kv, L, B, S, *pages.shape[3:])
+
+    kc, vc = to_scratch(pool["k"]), to_scratch(pool["v"])
+    if quantized:
+        ksc = to_scratch(pool["k_scale"])[..., 0]       # [KV, L, B, S]
+        vsc = to_scratch(pool["v_scale"])[..., 0]
+    opd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    def step(carry, _):
+        if quantized:
+            kc, vc, ksc, vsc, meta = carry
+        else:
+            kc, vc, meta = carry
+        active, cur, t, remaining = meta
+        emb = embed_tokens(llm_params, cur[:, None])    # [B, 1, D]
+        cos, sin = rope_cos_sin(t[:, None], hd, llm_cfg.rope_theta)
+        t_w = jnp.minimum(t, S - 1)                     # clamped write slot
+        pos = jnp.arange(S)[None]                       # [1, S]
+        lengths = t + 1
+
+        def layer(i, acc):
+            if quantized:
+                h, kc, vc, ksc, vsc = acc
+            else:
+                h, kc, vc = acc
+            p = layer_slice(llm_params["layers"], i)
+            x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
+            k_new = apply_rope(mm(x, p["wk"]).reshape(B, 1, kv, hd),
+                               cos, sin)
+            v_new = mm(x, p["wv"]).reshape(B, 1, kv, hd)
+            k_row = k_new[:, 0].transpose(1, 0, 2)      # [KV, B, hd]
+            v_row = v_new[:, 0].transpose(1, 0, 2)
+            if quantized:
+                k_row, ks_row = _row_quantize(k_row)
+                v_row, vs_row = _row_quantize(v_row)
+
+            def wr(buf, rows, b, extra_dim):
+                val = rows[:, b].reshape(kv, 1, 1, 1, *extra_dim)
+                return jax.lax.dynamic_update_slice(
+                    buf, val.astype(buf.dtype),
+                    (0, i, b, t_w[b]) + (0,) * len(extra_dim))
+
+            def wbody(b, bufs):
+                if quantized:
+                    kc, vc, ksc, vsc = bufs
+                    ksc = wr(ksc, ks_row[..., 0], b, ())
+                    vsc = wr(vsc, vs_row[..., 0], b, ())
+                    return (wr(kc, k_row, b, (hd,)), wr(vc, v_row, b, (hd,)),
+                            ksc, vsc)
+                kc, vc = bufs
+                return (wr(kc, k_row, b, (hd,)), wr(vc, v_row, b, (hd,)))
+
+            if quantized:
+                kc, vc, ksc, vsc = jax.lax.fori_loop(
+                    0, B, wbody, (kc, vc, ksc, vsc))
+            else:
+                kc, vc = jax.lax.fori_loop(0, B, wbody, (kc, vc))
+
+            q = apply_rope(mm(x, p["wq"]).reshape(B, 1, llm_cfg.n_heads, hd),
+                           cos, sin)
+            q2 = _q_grouped(q, kv).astype(opd)          # [B, KV, G, hd]
+            k_l = jax.lax.dynamic_index_in_dim(kc, i, 1, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(vc, i, 1, keepdims=False)
+            s = jnp.einsum("bkgd,kbsd->bkgs", q2, k_l.astype(opd),
+                           preferred_element_type=jnp.float32) * (hd ** -0.5)
+            if quantized:
+                ks_l = jax.lax.dynamic_index_in_dim(ksc, i, 1, keepdims=False)
+                vs_l = jax.lax.dynamic_index_in_dim(vsc, i, 1, keepdims=False)
+                s = s * (ks_l.transpose(1, 0, 2)[:, :, None]
+                         / _MAX_INT8)                   # [B, KV, 1, S]
+            s = jnp.where((pos < lengths[:, None])[:, None, None],
+                          s, -jnp.inf)
+            w = jax.nn.softmax(s, axis=-1)
+            if quantized:
+                w = w * (vs_l.transpose(1, 0, 2)[:, :, None] / _MAX_INT8)
+            attn = jnp.einsum("bkgs,kbsd->bkgd", w.astype(opd),
+                              v_l.astype(opd),
+                              preferred_element_type=jnp.float32)
+            attn = attn.reshape(B, 1, -1).astype(h.dtype)
+            h = h + mm(attn, p["wo"])
+            x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
+            h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
+                       p["w_down"])
+            if quantized:
+                return (h, kc, vc, ksc, vsc)
+            return (h, kc, vc)
+
+        if quantized:
+            h, kc, vc, ksc, vsc = jax.lax.fori_loop(
+                0, L, layer, (emb, kc, vc, ksc, vsc))
+        else:
+            h, kc, vc = jax.lax.fori_loop(0, L, layer, (emb, kc, vc))
+        h = rms_norm(h, llm_params["final_norm"], llm_cfg.norm_eps)
+        logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        emitted = jnp.where(active, cur, eos_id)
+        remaining = jnp.where(active, remaining - 1, remaining)
+        nxt_active = active & (cur != eos_id) & (remaining > 0)
+        meta = (nxt_active,
+                jnp.where(nxt_active, nxt, cur),
+                jnp.where(nxt_active, t + 1, t),
+                remaining)
+        if quantized:
+            return (kc, vc, ksc, vsc, meta), emitted
+        return (kc, vc, meta), emitted
+
+    meta0 = (pool["active"], pool["cur"], len0, pool["remaining"])
+    if quantized:
+        carry, emitted = jax.lax.scan(
+            step, (kc, vc, ksc, vsc, meta0), None, length=burst)
+        kc, vc, ksc, vsc, meta = carry
+    else:
+        carry, emitted = jax.lax.scan(step, (kc, vc, meta0), None,
+                                      length=burst)
+        kc, vc, meta = carry
+    active, cur, t_fin, remaining = meta
+
+    # write back ONLY the touched pages (burst <= page_size => at most 2
+    # per slot per layer). Whole-page copies: untouched rows are identical
+    # to the pool's, rows past `len` are junk both sides (length-masked).
+    n_touch = burst // page_size + 2
+    p0 = len0 // page_size                              # [B]
+
+    def writeback(pool_arr, scratch, extra_dim):
+        def body(idx, arr):
+            l = idx // (B * n_touch)
+            r = idx % (B * n_touch)
+            b, j = r // n_touch, r % n_touch
+            pi = jnp.minimum(p0[b] + j, MP - 1)
+            local = local_table[b, pi]                  # trash if -1
+            src = jax.lax.dynamic_slice(
+                scratch, (0, l, b, pi * page_size) + (0,) * len(extra_dim),
+                (kv, 1, 1, page_size) + extra_dim)
+            src = src.reshape(kv, 1, page_size, *extra_dim)
+            return jax.lax.dynamic_update_slice(
+                arr, src.astype(arr.dtype),
+                (0, l * stride + local, 0) + (0,) * len(extra_dim))
+        return jax.lax.fori_loop(0, L * B * n_touch, body, pool_arr)
+
+    new_pool = dict(pool,
+                    k=writeback(pool["k"], kc, (hd,)),
+                    v=writeback(pool["v"], vc, (hd,)),
+                    len=t_fin, cur=cur, remaining=remaining, active=active)
+    if quantized:
+        new_pool["k_scale"] = writeback(pool["k_scale"], ksc[..., None], (1,))
+        new_pool["v_scale"] = writeback(pool["v_scale"], vsc[..., None], (1,))
+    status = jnp.stack([active.astype(jnp.int32), t_fin, remaining], axis=1)
+    return new_pool, jnp.concatenate([emitted.T, status], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(2,),
+         static_argnames=("llm_cfg", "page_size", "n_pages",
+                          "burst", "eos_id", "paged_attn"))
 def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
                         n_pages: int, burst: int, eos_id: int,
-                        paged_attn: str = "gather"):
+                        paged_attn: str = "gather", page_owner=None,
+                        page_pos=None):
     """``burst`` greedy tokens for all active slots inside ONE jitted scan
     (one dispatch + one fetch per burst — the remote-TPU relay charges
     ~28 ms per device→host fetch, so per-token stepping is round-trip
@@ -252,6 +587,13 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
     emitted tokens (eos-padded for inactive rows) then post-burst
     [active, len, remaining] columns — everything the host scheduler
     needs, in ONE fetch."""
+    if paged_attn == "burstdense":
+        assert burst <= page_size, \
+            "burstdense writeback assumes burst <= page_size"
+        return _burstdense_decode_burst(llm_params, llm_cfg, pool,
+                                        page_size=page_size,
+                                        n_pages=n_pages, burst=burst,
+                                        eos_id=eos_id)
 
     def step(carry, _):
         pool = carry
@@ -260,7 +602,9 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         new_pool, nxt = _paged_step_body(llm_params, llm_cfg, pool,
                                          page_size=page_size,
                                          n_pages=n_pages,
-                                         paged_attn=paged_attn)
+                                         paged_attn=paged_attn,
+                                         page_owner=page_owner,
+                                         page_pos=page_pos)
         emitted = jnp.where(active, cur, eos_id)
         remaining = jnp.where(active, pool["remaining"] - 1,
                               pool["remaining"])
@@ -281,9 +625,10 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
 @partial(jax.jit, donate_argnums=(2,),
          static_argnames=("cfg", "page_size", "n_pages", "attn_impl"))
 def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
-                       page_ids, slot, max_new, *, page_size: int,
+                       page_ids, slots, max_new, *, page_size: int,
                        n_pages: int, attn_impl: str = "xla"):
-    """B=1 multimodal prefill written DIRECTLY into the slot's pages.
+    """Multimodal prefill of G EQUAL-LENGTH prompts written DIRECTLY into
+    each slot's pages.
 
     v3 admission: one jitted call. The v2 path ran `llm_apply` into a dense
     [L, 1, S, KV, hd] scratch cache (a separate jit output — ~0.5 GB
@@ -296,12 +641,16 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
     lm_head matmul runs on the LAST position only (the reference computes
     full-sequence logits it never uses, ``prismatic.py:474-485``).
 
-    The engine always admits unpadded B=1 prompts, so the fused length
-    equals the static sequence length and the whole K/V (padded to the page
-    boundary) is live."""
+    v4 admission batches: ``input_ids [G, T]`` / ``page_ids [G, n0]`` /
+    ``slots [G]`` / ``max_new [G]`` admit G queued requests with one
+    prefill — the ViT towers and the 32 weight reads amortize over G
+    (measured: 6 serial B=1 admissions ≈ 0.6 s; one G=6 batch ≈ 1/3 of
+    that). Only EQUAL fused lengths batch (the mask stays all-ones, no
+    left-pad plumbing); the engine groups the queue accordingly. With
+    all-ones masks the whole K/V (padded to the page boundary) is live."""
     llm_cfg = cfg.llm
     stride = n_pages + 1
-    n0 = page_ids.shape[0]
+    G, n0 = page_ids.shape
     quantized = "k_scale" in pool
 
     patch_embeds = encode_images(params, cfg, pixel_values,
@@ -314,17 +663,23 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
     cos, sin = rope_cos_sin(positions, llm_cfg.head_dim, llm_cfg.rope_theta)
     kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim
     pad = n0 * page_size - S
+    gid_local = page_ids.reshape(-1)                     # [G*n0]
 
-    def to_pages(rows):                      # [1, S, KV, hd] -> [KV, n0, ps, hd]
-        rows = jnp.pad(rows[0], ((0, pad), (0, 0), (0, 0)))
-        return rows.reshape(n0, page_size, kv, hd).transpose(2, 0, 1, 3)
+    def to_pages(rows):                  # [G, S, KV, hd] -> [G*n0, KV, ps, hd]
+        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rows = rows.reshape(G, n0, page_size, kv, hd)
+        return rows.transpose(0, 1, 3, 2, 4).reshape(G * n0, kv,
+                                                     page_size, hd)
 
-    def write(pages, src, i, j):
+    def write_pages(pages, src, i):
         # scalar-start DUS per page (see _write_rows: advanced-index scatter
         # across the huge page axis lowers ~5x slower)
-        gid = i * stride + page_ids[j]
-        return jax.lax.dynamic_update_slice(
-            pages, src[:, j][:, None].astype(pages.dtype), (0, gid, 0, 0))
+        def body(j, pg):
+            val = jax.lax.dynamic_index_in_dim(src, j, 0,
+                                               keepdims=False)[:, None]
+            return jax.lax.dynamic_update_slice(
+                pg, val.astype(pg.dtype), (0, i * stride + gid_local[j], 0, 0))
+        return jax.lax.fori_loop(0, G * n0, body, pages)
 
     def body(i, carry):
         if quantized:
@@ -343,12 +698,10 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
         if quantized:
             k_pg, k_s = _row_quantize(k_pg)
             v_pg, v_s = _row_quantize(v_pg)
-        for j in range(n0):                  # static unroll, n0 small
-            k_pool = write(k_pool, k_pg, i, j)
-            v_pool = write(v_pool, v_pg, i, j)
-            if quantized:
-                ks_pool = write(ks_pool, k_s, i, j)
-                vs_pool = write(vs_pool, v_s, i, j)
+            ks_pool = write_pages(ks_pool, k_s, i)
+            vs_pool = write_pages(vs_pool, v_s, i)
+        k_pool = write_pages(k_pool, k_pg, i)
+        v_pool = write_pages(v_pool, v_pg, i)
         attn = multi_head_attention(q, k, v, kv_mask=fmask, causal=True,
                                     impl=attn_impl)
         h = h + mm(attn.reshape(B, S, -1), p["wo"])
@@ -372,14 +725,14 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
         pool = dict(pool, k=k_pool, v=v_pool)
     h = rms_norm(h[:, -1:], params["llm"]["final_norm"], llm_cfg.norm_eps)
     first = jnp.argmax(
-        mm(h, params["llm"]["lm_head"]).astype(jnp.float32)[0, 0])
-    table_row = jnp.full((pool["page_table"].shape[1],), -1, jnp.int32)
-    table_row = table_row.at[:n0].set(page_ids)
-    pool["page_table"] = pool["page_table"].at[slot].set(table_row)
-    pool["len"] = pool["len"].at[slot].set(jnp.int32(S))
-    pool["cur"] = pool["cur"].at[slot].set(first.astype(jnp.int32))
-    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
-    pool["active"] = pool["active"].at[slot].set(True)
+        mm(h, params["llm"]["lm_head"]).astype(jnp.float32)[:, 0], axis=-1)
+    table_rows = jnp.full((G, pool["page_table"].shape[1]), -1, jnp.int32)
+    table_rows = table_rows.at[:, :n0].set(page_ids)
+    pool["page_table"] = pool["page_table"].at[slots].set(table_rows)
+    pool["len"] = pool["len"].at[slots].set(jnp.int32(S))
+    pool["cur"] = pool["cur"].at[slots].set(first.astype(jnp.int32))
+    pool["remaining"] = pool["remaining"].at[slots].set(max_new)
+    pool["active"] = pool["active"].at[slots].set(True)
     return pool
 
 
@@ -441,6 +794,11 @@ class PagedServingEngine:
             max_pages_per_slot=max_pages_per_slot, dtype=compute_dtype,
             quantized=quantized_cache)
         self.free_pages: List[int] = list(range(n_pages))
+        # poolmask attention: host-maintained page ownership (slot id, -1 =
+        # free/trash; index n_pages IS the trash page) and page rank within
+        # its slot — shipped to the device once per burst (tiny int32 rows)
+        self._page_owner = np.full((n_pages + 1,), -1, np.int32)
+        self._page_pos = np.zeros((n_pages + 1,), np.int32)
         # host mirrors of the per-slot scheduler state; refreshed from the
         # burst's packed status (one fetch) and set directly at admission
         self._len = np.zeros((num_slots,), np.int64)
@@ -477,29 +835,51 @@ class PagedServingEngine:
         free_slots = [s for s in range(self.num_slots)
                       if s not in self.running]
         while free_slots and self.queue:
-            req = self.queue[0]
-            n0 = self._pages_needed(req)
-            if len(self.free_pages) < n0 + 1:   # +1 headroom for decode
-                break                            # admission waits for pages
-            self.queue.pop(0)
-            slot = free_slots.pop(0)
-            fused = req.prompt_ids.shape[1] + self.cfg.num_patches
-            page_ids = np.asarray([self.free_pages.pop(0)
-                                   for _ in range(n0)], np.int32)
+            # group the front of the queue: EQUAL prompt lengths batch into
+            # ONE prefill (all-ones mask, no left-pad plumbing); a
+            # different-length head request ends the group
+            lead_len = self.queue[0].prompt_ids.shape[1]
+            n0 = self._pages_needed(self.queue[0])
+            group: List[_Request] = []
+            pages_taken = 0
+            for req in self.queue:
+                if (len(group) >= len(free_slots)
+                        or req.prompt_ids.shape[1] != lead_len
+                        or len(self.free_pages) - pages_taken < n0 + 1):
+                    break                        # admission waits for pages
+                group.append(req)
+                pages_taken += n0
+            if not group:
+                break
+            del self.queue[:len(group)]
+            G = len(group)
+            slots = [free_slots.pop(0) for _ in range(G)]
+            page_ids = np.asarray(
+                [[self.free_pages.pop(0) for _ in range(n0)]
+                 for _ in range(G)], np.int32)
+            prompt_ids = np.concatenate([r.prompt_ids for r in group], 0)
+            pixels = {k: jnp.concatenate([r.pixel_values[k] for r in group],
+                                         axis=0)
+                      for k in group[0].pixel_values}
             self.pool = _prefill_into_pool(
                 self.params, self.cfg, self.pool,
-                jnp.asarray(req.prompt_ids), req.pixel_values,
-                jnp.asarray(page_ids), jnp.int32(slot),
-                jnp.int32(req.max_new_tokens), page_size=self.page_size,
-                n_pages=self.n_pages, attn_impl=self.attn_impl)
-            req.slot = slot
-            req.n_pages = n0
-            req.page_ids = list(int(p) for p in page_ids)
-            # fused prompt length is host-known: the prefill's `used` is
-            # exactly prompt_len + num_patches (all-ones mask, B=1)
-            self._len[slot] = fused
-            self._remaining[slot] = req.max_new_tokens
-            self.running[slot] = req
+                jnp.asarray(prompt_ids), pixels,
+                jnp.asarray(page_ids), jnp.asarray(slots, np.int32),
+                jnp.asarray([r.max_new_tokens for r in group], np.int32),
+                page_size=self.page_size, n_pages=self.n_pages,
+                attn_impl=self.attn_impl)
+            fused = lead_len + self.cfg.num_patches
+            for g, (req, slot) in enumerate(zip(group, slots)):
+                req.slot = slot
+                req.n_pages = n0
+                req.page_ids = list(int(p) for p in page_ids[g])
+                self._page_owner[req.page_ids] = slot
+                self._page_pos[req.page_ids] = np.arange(n0, dtype=np.int32)
+                # fused prompt length is host-known: prompt_len +
+                # num_patches (all-ones mask)
+                self._len[slot] = fused
+                self._remaining[slot] = req.max_new_tokens
+                self.running[slot] = req
 
     def _ensure_pages(self) -> bool:
         """Grow page tables so every running slot can write its next burst
@@ -521,6 +901,8 @@ class PagedServingEngine:
                                          jnp.int32(page))
                 req.n_pages += 1
                 req.page_ids.append(page)
+                self._page_owner[page] = slot
+                self._page_pos[page] = req.n_pages - 1
         return True
 
     def step(self) -> List[Tuple[int, List[int]]]:
@@ -532,11 +914,15 @@ class PagedServingEngine:
         if not self._ensure_pages():
             raise RuntimeError("page pool exhausted mid-decode; add pages "
                                "or lower num_slots")
+        ownership = {}
+        if self.paged_attn == "poolmask":
+            ownership = {"page_owner": jnp.asarray(self._page_owner),
+                         "page_pos": jnp.asarray(self._page_pos)}
         self.pool, packed = _paged_decode_burst(
             self.params["llm"], self.cfg.llm, self.pool,
             page_size=self.page_size, n_pages=self.n_pages,
             burst=self.burst, eos_id=self.tokenizer.eos_id,
-            paged_attn=self.paged_attn)
+            paged_attn=self.paged_attn, **ownership)
         packed = np.asarray(packed)          # ONE fetch per burst
         emitted = packed[:, :self.burst]
         active_after = packed[:, self.burst].astype(bool)
@@ -554,6 +940,7 @@ class PagedServingEngine:
                 done_now.append((req.request_id,
                                  self.finished[req.request_id]))
                 self.free_pages.extend(req.page_ids)
+                self._page_owner[req.page_ids] = -1
                 req.page_ids = []
                 del self.running[slot]
         return done_now

@@ -117,3 +117,37 @@ def test_paged_quantized_cache(setup):
     # greedy argmax should agree at least early in the rollout
     n_agree = sum(a == b for a, b in zip(dense[:4], quant[:4]))
     assert n_agree >= 3, (dense, quant)
+
+
+@pytest.mark.parametrize("variant", ["gather2", "pagescan", "poolmask", "burstdense"])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_attn_variants_token_parity(setup, variant, quantized):
+    """Every decode-attention variant must emit the same greedy tokens as
+    the XLA gather baseline — mixed-length slots so ownership masks, page
+    walks, and length masking are all exercised (incl. int8 pages)."""
+    cfg, params, tok, pixels = setup
+    prompts = ["In: pick up the cup\nOut:", "In: wipe that big table\nOut:"]
+
+    def run(attn):
+        eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=16,
+                                 page_size=32, max_pages_per_slot=8,
+                                 burst=4, paged_attn=attn,
+                                 quantized_cache=quantized)
+        rids = [eng.submit(p, pixels(40 + i), max_new_tokens=6 + 3 * i)
+                for i, p in enumerate(prompts)]
+        done = eng.run_until_complete()
+        return [done[r] for r in rids]
+
+    base = run("gather")
+    got = run(variant)
+    if variant in ("poolmask", "burstdense"):
+        # poolmask/burstdense compute with bf16 einsum operands (f32
+        # accumulation)
+        # and fold int8 scales into scores/probs instead of dequantizing
+        # rows — numerics differ in the last ulp, so allow a late-token
+        # divergence but require early agreement
+        for b, g in zip(base, got):
+            n = min(4, len(b), len(g))
+            assert g[:n] == b[:n], (base, got)
+    else:
+        assert got == base, (variant, quantized, base, got)
