@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from emmax_tpu.models.llama import embed_tokens, init_kv_cache
-from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal,
+from emmax_tpu.serving.engine import resolve_patches
+from emmax_tpu.models.vlm import (VLMConfig, fuse_multimodal,
                                   llm_apply)
 
 
@@ -46,7 +47,8 @@ def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
     compute_dtype = params["llm"]["embed"].dtype
     cache = init_kv_cache(cfg.llm, 1, cache_len, dtype=compute_dtype,
                           quantized=quantized_cache)
-    patch_embeds = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    # raw tower pixels or pre-encoded {"patches": ...} (see resolve_patches)
+    patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,
                                                   mask, None)

@@ -58,7 +58,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from emmax_tpu.models.llama import embed_tokens, layer_slice, mm
-from emmax_tpu.models.vlm import (VLMConfig, encode_images, fuse_multimodal)
+from emmax_tpu.models.vlm import VLMConfig, fuse_multimodal
+from emmax_tpu.serving.engine import resolve_patches
 from emmax_tpu.ops.attention import multi_head_attention
 from emmax_tpu.ops.norms import rms_norm
 from emmax_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -393,9 +394,9 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
             0, llm_cfg.n_layers, body, (emb, pool["k"], pool["v"]))
         new_pool = dict(pool, k=k_pages, v=v_pages)
     h = rms_norm(h, llm_params["final_norm"], llm_cfg.norm_eps)
-    logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)
-    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-    return new_pool, nxt
+    logits = mm(h, llm_params["lm_head"]).astype(jnp.float32)[:, 0]
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return new_pool, nxt, logits
 
 
 _paged_decode_step = partial(jax.jit, static_argnames=(
@@ -610,12 +611,12 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         pool = carry
         active = pool["active"]
         cur = pool["cur"]
-        new_pool, nxt = _paged_step_body(llm_params, llm_cfg, pool,
-                                         page_size=page_size,
-                                         n_pages=n_pages,
-                                         paged_attn=paged_attn,
-                                         page_owner=page_owner,
-                                         page_pos=page_pos)
+        new_pool, nxt, _ = _paged_step_body(llm_params, llm_cfg, pool,
+                                            page_size=page_size,
+                                            n_pages=n_pages,
+                                            paged_attn=paged_attn,
+                                            page_owner=page_owner,
+                                            page_pos=page_pos)
         emitted = jnp.where(active, cur, eos_id)
         remaining = jnp.where(active, pool["remaining"] - 1,
                               pool["remaining"])
@@ -664,8 +665,12 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
     G, n0 = page_ids.shape
     quantized = "k_scale" in pool
 
-    patch_embeds = encode_images(params, cfg, pixel_values,
-                                 attn_impl=attn_impl)
+    # pixel_values may be {"patches": [G, P, D]} (pre-encoded, e.g. from
+    # a vision cache or for BIT-exact cross-engine parity tests — two ViTs
+    # compiled into different jit programs fuse differently and differ by
+    # bf16 ulps, which greedy decode amplifies into different tokens on
+    # margin-free random weights)
+    patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
     input_embeds = embed_tokens(params["llm"], input_ids)
     mask = jnp.ones(input_ids.shape, jnp.bool_)
     embeds, fmask, _, positions = fuse_multimodal(patch_embeds, input_embeds,

@@ -8,7 +8,8 @@ import pytest
 
 from emmax_tpu.models.vlm import init_vlm_params, tiny_vlm_config
 from emmax_tpu.serving.continuous import ContinuousServingEngine
-from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
+from emmax_tpu.serving.engine import (GenerateOptions, ServingEngine,
+                                      encode_frame)
 from emmax_tpu.serving.paged import PagedServingEngine
 from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 
@@ -20,10 +21,18 @@ def setup():
     tok = ByteLevelTokenizer(1024)
 
     def pixels(seed=0):
+        # pre-encoded patches shared by every engine under test: two ViT
+        # towers compiled into DIFFERENT jit programs legitimately differ
+        # by bf16 ulps (fusion order), and greedy decode on margin-free
+        # random weights amplifies that into different token streams —
+        # exact cross-engine parity is only a stable contract when the
+        # patch values are bit-identical (found via the on-chip
+        # paged-parity gate; see scripts/tpu_checks.py)
         r = np.random.default_rng(seed)
-        return {name: jnp.asarray(r.normal(size=(1, v.img_size, v.img_size, 3))
-                                  .astype(np.float32))
-                for name, v in cfg.vision}
+        raw = {name: jnp.asarray(r.normal(size=(1, v.img_size, v.img_size,
+                                                3)).astype(np.float32))
+               for name, v in cfg.vision}
+        return {"patches": encode_frame(params, cfg, raw)}
 
     return cfg, params, tok, pixels
 
