@@ -244,12 +244,19 @@ def llama_forward(
         # With fori_loop the cache is loop-carried state and the
         # dynamic_update_slice aliases in place.
         if per_row:
-            # per-row cursors (continuous batching): vmapped row updates
+            # per-row cursors (continuous batching): fori of scalar-start
+            # 5-D in-place updates. The previous vmapped-DUS-on-a-layer-
+            # slice version (`cache_all[i]` gather + `.at[i].set` scatter)
+            # materialized two full [B, S, KV, hd] slabs per layer per
+            # step (~200 MB/layer at 7B/6-slot shapes) — it measured the
+            # dense continuous engine at 155 agg tok/s vs the paged
+            # engine's 424 on otherwise-equal work.
             def _write(cache_all, new, i):
-                updated = jax.vmap(
-                    lambda c, n, t: jax.lax.dynamic_update_slice(
-                        c, n, (t, 0, 0)))(cache_all[i], new, t0)
-                return cache_all.at[i].set(updated)
+                def body(b, arr):
+                    return jax.lax.dynamic_update_slice(
+                        arr, new[b][None, None].astype(arr.dtype),
+                        (i, b, t0[b], 0, 0))
+                return jax.lax.fori_loop(0, new.shape[0], body, cache_all)
         else:
             # single 5-D in-place update (the tuned decode hot path)
             def _write(cache_all, new, i):

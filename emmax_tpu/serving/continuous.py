@@ -39,13 +39,18 @@ _CACHE_KEYS = ("k", "v", "k_scale", "v_scale")
 
 @partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl",
                                    "quantized_cache"))
-def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
-                    *, cache_len: int, attn_impl: str,
-                    quantized_cache: bool = False):
-    """B=1 multimodal prefill → (first_token, cache_tensors, slot_mask,
-    used_len)."""
+def _prefill_batch(params, cfg: VLMConfig, input_ids, mask, pixel_values,
+                   *, cache_len: int, attn_impl: str,
+                   quantized_cache: bool = False):
+    """G-request multimodal prefill (EQUAL prompt lengths, all-ones masks)
+    → (first_tokens [G], cache_tensors, slot_masks [G, S], used_lens [G]).
+
+    Admission batching mirrors the paged engine: admission is
+    compute-bound (ViT towers + 32 weight reads), so grouping the queue's
+    equal-length head into ONE prefill amortizes it ~G×."""
+    G = input_ids.shape[0]
     compute_dtype = params["llm"]["embed"].dtype
-    cache = init_kv_cache(cfg.llm, 1, cache_len, dtype=compute_dtype,
+    cache = init_kv_cache(cfg.llm, G, cache_len, dtype=compute_dtype,
                           quantized=quantized_cache)
     # raw tower pixels or pre-encoded {"patches": ...} (see resolve_patches)
     patch_embeds = resolve_patches(params, cfg, pixel_values, attn_impl)
@@ -55,24 +60,24 @@ def _prefill_single(params, cfg: VLMConfig, input_ids, mask, pixel_values,
     logits, cache = llm_apply(params["llm"], cfg.llm, embeds, mask=fmask,
                               positions=positions, kv_cache=cache,
                               attn_impl=attn_impl)
-    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)[0]
+    first = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
     tensors = {key: cache[key] for key in _CACHE_KEYS if key in cache}
-    return (first.astype(jnp.int32), tensors, cache["mask"][0],
-            positions[0, -1] + 1)
+    return (first.astype(jnp.int32), tensors, cache["mask"],
+            positions[:, -1] + 1)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
-def _insert_slot(pool, slot: int, tensors, slot_mask1, used_len, first_tok,
-                 max_new):
-    """Copy a prefilled single-request cache into pool slot ``slot``."""
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_slots(pool, slots, tensors, slot_masks, used_lens, first_toks,
+                  max_new):
+    """Copy a G-row prefilled cache into pool slots ``slots`` [G]."""
     pool = dict(pool)
-    for key, t1 in tensors.items():
-        pool[key] = pool[key].at[:, slot].set(t1[:, 0])
-    pool["mask"] = pool["mask"].at[slot].set(slot_mask1)
-    pool["len"] = pool["len"].at[slot].set(used_len.astype(jnp.int32))
-    pool["cur"] = pool["cur"].at[slot].set(first_tok)
-    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
-    pool["active"] = pool["active"].at[slot].set(True)
+    for key, tg in tensors.items():
+        pool[key] = pool[key].at[:, slots].set(tg)
+    pool["mask"] = pool["mask"].at[slots].set(slot_masks)
+    pool["len"] = pool["len"].at[slots].set(used_lens.astype(jnp.int32))
+    pool["cur"] = pool["cur"].at[slots].set(first_toks)
+    pool["remaining"] = pool["remaining"].at[slots].set(max_new)
+    pool["active"] = pool["active"].at[slots].set(True)
     return pool
 
 
@@ -184,18 +189,34 @@ class ContinuousServingEngine:
     def _admit(self) -> None:
         free = [s for s in range(self.num_slots) if s not in self.running]
         while free and self.queue:
-            slot = free.pop(0)
-            req = self.queue.pop(0)
-            mask = jnp.ones(req.prompt_ids.shape, jnp.bool_)
-            first, tensors, m1, used = _prefill_single(
-                self.params, self.cfg, jnp.asarray(req.prompt_ids), mask,
-                req.pixel_values, cache_len=self.cache_len,
-                attn_impl=self.attn_impl,
+            # one batched prefill for the queue's equal-length head (a
+            # different-length request ends the group)
+            lead_len = self.queue[0].prompt_ids.shape[1]
+            group: List[_Request] = []
+            for req in self.queue:
+                if (len(group) >= len(free)
+                        or req.prompt_ids.shape[1] != lead_len):
+                    break
+                group.append(req)
+            del self.queue[:len(group)]
+            G = len(group)
+            slots = [free.pop(0) for _ in range(G)]
+            ids = np.concatenate([r.prompt_ids for r in group], 0)
+            pixels = {k: jnp.concatenate([r.pixel_values[k] for r in group],
+                                         axis=0)
+                      for k in group[0].pixel_values}
+            mask = jnp.ones(ids.shape, jnp.bool_)
+            firsts, tensors, masks, used = _prefill_batch(
+                self.params, self.cfg, jnp.asarray(ids), mask, pixels,
+                cache_len=self.cache_len, attn_impl=self.attn_impl,
                 quantized_cache=self.quantized_cache)
-            self.pool = _insert_slot(self.pool, slot, tensors, m1, used,
-                                     first, jnp.int32(req.max_new_tokens))
-            req.slot = slot
-            self.running[slot] = req
+            self.pool = _insert_slots(
+                self.pool, jnp.asarray(slots, np.int32), tensors, masks,
+                used, firsts,
+                jnp.asarray([r.max_new_tokens for r in group], np.int32))
+            for req, slot in zip(group, slots):
+                req.slot = slot
+                self.running[slot] = req
 
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit + one decode burst. Returns newly finished

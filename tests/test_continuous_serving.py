@@ -142,3 +142,28 @@ def test_submit_rejects_overflowing_request(setup):
                                   cache_len=64, burst=4)
     with pytest.raises(ValueError, match="cache slots"):
         eng.submit("In: pick\nOut:", pixels(), max_new_tokens=512)
+
+
+def test_batched_equal_length_admission_matches_solo(setup):
+    """Equal-length queued requests admit through ONE batched prefill
+    (mirrors the paged engine's v4 admission); tokens must match each
+    request run alone. Patches are pre-encoded so the parity contract is
+    numerically stable (see CLAUDE.md / cross-jit ulp note)."""
+    from emmax_tpu.serving.engine import encode_frame
+    cfg, params, tok, pixels = setup
+    prompts = ["In: pick the red cup\nOut:", "In: pick the blu cup\nOut:",
+               "In: lift the big box\nOut:"]
+    assert len({len(tok.encode(p)) for p in prompts}) == 1
+    patch = [{"patches": encode_frame(params, cfg, pixels(seed=40 + i))}
+             for i in range(3)]
+    eng = ContinuousServingEngine(cfg, params, tok, num_slots=4,
+                                  cache_len=256, burst=4)
+    rids = [eng.submit(p, patch[i], max_new_tokens=8)
+            for i, p in enumerate(prompts)]
+    assert len(eng.queue) == 3
+    eng._admit()
+    assert len(eng.running) == 3 and not eng.queue  # one grouped admission
+    done = eng.run_until_complete()
+    for i, (rid, p) in enumerate(zip(rids, prompts)):
+        ref = _reference_tokens(cfg, params, tok, p, patch[i], 8)
+        assert done[rid][:len(ref)] == ref, (i, done[rid], ref)
