@@ -759,6 +759,125 @@ def _append_page(pool, slot: int, table_idx, page_id):
     return pool
 
 
+@partial(jax.jit, donate_argnums=(2,),
+         static_argnames=("llm_cfg", "prefix_len", "page_size", "n_pages"))
+def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
+                            prefix_table, own_ids, slot, max_new, table_row,
+                            *, prefix_len: int, page_size: int,
+                            n_pages: int):
+    """Admit ONE request whose first ``prefix_len`` fused positions (BOS +
+    patch block) already live in SHARED pages (``prefix_table``, local
+    ids): only the prompt tail runs through the transformer. Tail K/V rows
+    (plus the shared boundary page's prefix rows, when ``prefix_len`` is
+    not page-aligned) are written into the request's OWN pages; the shared
+    full pages are referenced by ``table_row`` and never written. This is
+    the vLLM-style prefix-sharing admission: for Emma-X the patch block is
+    ~558 of ~690 fused positions, so N same-frame queries pay the ViT
+    towers + ~80% of prefill compute ONCE (beyond-reference; the reference
+    re-encodes every frame, ``prismatic.py:646-652``)."""
+    stride = n_pages + 1
+    B, T = tail_ids.shape                              # B == 1
+    kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim
+    quantized = "k_scale" in pool
+    n_pre = prefix_table.shape[0]
+    n_own = own_ids.shape[0]
+    Sp = n_pre * page_size
+    p0 = prefix_len // page_size                       # full shared pages
+    own_start = p0 * page_size
+    pad = own_start + n_own * page_size - (prefix_len + T)
+
+    h = embed_tokens(llm_params, tail_ids)             # [1, T, D]
+    positions = prefix_len + jnp.arange(T, dtype=jnp.int32)[None]
+    cos, sin = rope_cos_sin(positions, hd, llm_cfg.rope_theta)
+    pre_valid = jnp.arange(Sp) < prefix_len            # [Sp]
+
+    def gather_prefix(i):
+        gids = i * stride + prefix_table
+        k_p = jnp.take(pool["k"], gids, axis=1)        # [KV, n_pre, ps, hd]
+        v_p = jnp.take(pool["v"], gids, axis=1)
+        if quantized:
+            ks = jnp.take(pool["k_scale"], gids, axis=1)
+            vs = jnp.take(pool["v_scale"], gids, axis=1)
+            k_p = _row_dequantize(k_p, ks, h.dtype)
+            v_p = _row_dequantize(v_p, vs, h.dtype)
+        to_rows = lambda x: x.reshape(kv, Sp, hd).transpose(1, 0, 2)[None]
+        return to_rows(k_p), to_rows(v_p)              # [1, Sp, KV, hd]
+
+    def write_own(pages, rows, i):
+        # rows [1, own_span, KV, hd?]: the request's own region (boundary
+        # prefix rows + tail + junk pad), paged and DUS'd per page
+        rows = rows[0].reshape(n_own, page_size, kv, -1).transpose(0, 2, 1, 3)
+
+        def body(j, pg):
+            val = jax.lax.dynamic_index_in_dim(rows, j, 0,
+                                               keepdims=False)[:, None]
+            gid = i * stride + own_ids[j]
+            return jax.lax.dynamic_update_slice(
+                pg, val.astype(pg.dtype), (0, gid, 0, 0))
+        return jax.lax.fori_loop(0, n_own, body, pages)
+
+    def body(i, carry):
+        if quantized:
+            h, k_pool, v_pool, ks_pool, vs_pool = carry
+        else:
+            h, k_pool, v_pool = carry
+        p = layer_slice(llm_params["layers"], i)
+        x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
+        q = apply_rope(mm(x, p["wq"]).reshape(B, T, llm_cfg.n_heads, hd),
+                       cos, sin)
+        k_t = apply_rope(mm(x, p["wk"]).reshape(B, T, kv, hd), cos, sin)
+        v_t = mm(x, p["wv"]).reshape(B, T, kv, hd)
+        k_pre, v_pre = gather_prefix(i)
+        k_cat = jnp.concatenate([k_pre, k_t], axis=1)  # [1, Sp+T, KV, hd]
+        v_cat = jnp.concatenate([v_pre, v_t], axis=1)
+        kv_mask = jnp.concatenate(
+            [pre_valid, jnp.ones((T,), bool)])[None]   # [1, Sp+T]
+        attn = multi_head_attention(q, k_cat, v_cat, kv_mask=kv_mask,
+                                    causal=True, q_offset=jnp.int32(Sp))
+        h = h + mm(attn.reshape(B, T, -1), p["wo"])
+        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
+        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
+                   p["w_down"])
+        # own region = prefix rows past the last full shared page + tail
+        full_k = jnp.concatenate(
+            [k_pre[:, own_start:prefix_len].astype(k_t.dtype), k_t], axis=1)
+        full_v = jnp.concatenate(
+            [v_pre[:, own_start:prefix_len].astype(v_t.dtype), v_t], axis=1)
+        full_k = jnp.pad(full_k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        full_v = jnp.pad(full_v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if quantized:
+            qk, sk = _row_quantize(full_k)
+            qv, sv = _row_quantize(full_v)
+            ks_pool = write_own(ks_pool, sk, i)
+            vs_pool = write_own(vs_pool, sv, i)
+            k_pool = write_own(k_pool, qk, i)
+            v_pool = write_own(v_pool, qv, i)
+            return (h, k_pool, v_pool, ks_pool, vs_pool)
+        k_pool = write_own(k_pool, full_k, i)
+        v_pool = write_own(v_pool, full_v, i)
+        return (h, k_pool, v_pool)
+
+    if quantized:
+        init = (h, pool["k"], pool["v"], pool["k_scale"], pool["v_scale"])
+        h, k_pool, v_pool, ks_pool, vs_pool = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, init)
+        pool = dict(pool, k=k_pool, v=v_pool, k_scale=ks_pool,
+                    v_scale=vs_pool)
+    else:
+        h, k_pool, v_pool = jax.lax.fori_loop(
+            0, llm_cfg.n_layers, body, (h, pool["k"], pool["v"]))
+        pool = dict(pool, k=k_pool, v=v_pool)
+    h = rms_norm(h[:, -1:], llm_params["final_norm"], llm_cfg.norm_eps)
+    first = jnp.argmax(
+        mm(h, llm_params["lm_head"]).astype(jnp.float32)[0, 0])
+    pool["page_table"] = pool["page_table"].at[slot].set(table_row)
+    pool["len"] = pool["len"].at[slot].set(jnp.int32(prefix_len + T))
+    pool["cur"] = pool["cur"].at[slot].set(first.astype(jnp.int32))
+    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
+    pool["active"] = pool["active"].at[slot].set(True)
+    return pool
+
+
 @dataclasses.dataclass
 class _Request:
     request_id: int
@@ -768,9 +887,12 @@ class _Request:
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     n_pages: int = 0
-    # host mirror of this slot's page-table row (pages are assigned by the
-    # host, so the table never needs a device read-back)
+    # host mirror of this slot's OWN page-table entries (pages are assigned
+    # by the host, so the table never needs a device read-back); shared
+    # prefix pages are tracked per group in the engine's _shared_refs
     page_ids: List[int] = dataclasses.field(default_factory=list)
+    tail_ids: Optional[np.ndarray] = None    # set => shared-prefix request
+    shared_key: Optional[int] = None
 
 
 class PagedServingEngine:
@@ -823,6 +945,9 @@ class PagedServingEngine:
         self._len = np.zeros((num_slots,), np.int64)
         self._remaining = np.zeros((num_slots,), np.int64)
         self._ids = itertools.count()
+        self._shared_keys = itertools.count()
+        # shared-prefix groups: key -> {"ids": [page ids], "count": live refs}
+        self._shared_refs: Dict[int, Dict] = {}
         self.queue: List[_Request] = []
         self.running: Dict[int, _Request] = {}
         self.finished: Dict[int, List[int]] = {}
@@ -846,23 +971,112 @@ class PagedServingEngine:
         self.queue.append(_Request(rid, ids, pixel_values, max_new_tokens))
         return rid
 
+    def submit_shared(self, prompts: List[str], pixel_values: Dict,
+                      max_new_tokens: int = 512) -> List[int]:
+        """Admit N queries over ONE frame with a SHARED prefix: the BOS +
+        patch block (``1 + num_patches`` fused positions) is prefilled once
+        into refcounted shared pages; each request then prefills only its
+        prompt tail (``_prefill_tail_into_pool``). For Emma-X shapes the
+        patch block is ~80% of the fused prompt, so the ViT towers and most
+        prefill compute amortize over the group — and the shared full pages
+        are held ONCE in HBM (vLLM-style prefix sharing)."""
+        if self.paged_attn == "poolmask":
+            raise ValueError("poolmask's single-owner page mask cannot "
+                             "express shared pages; use burstdense/gather")
+        ps = self.page_size
+        prefix_len = 1 + self.cfg.num_patches
+        n_pre = -(-prefix_len // ps)
+        p0 = prefix_len // ps                  # full (table-referenced) pages
+        enc = [np.asarray([self.tokenizer.encode(p)], np.int32)
+               for p in prompts]
+        for ids in enc:
+            fused = ids.shape[1] + self.cfg.num_patches
+            n_own = -(-(fused + max_new_tokens) // ps) - p0
+            if p0 + n_own > self.max_pages_per_slot:
+                raise ValueError(
+                    f"request needs {p0 + n_own} page-table entries "
+                    f"(> max_pages_per_slot={self.max_pages_per_slot})")
+        if len(self.free_pages) < n_pre:
+            raise RuntimeError("no free pages for the shared prefix")
+        shared = [self.free_pages.pop(0) for _ in range(n_pre)]
+        bos = jnp.asarray(enc[0][:, :1])
+        self.pool = _prefill_into_pool(
+            self.params, self.cfg, self.pool, bos, pixel_values,
+            jnp.asarray([shared], np.int32),
+            # out-of-bounds slot: XLA drops OOB scatter updates, so the
+            # prefix K/V lands in the pages with NO slot metadata written
+            jnp.asarray([self.num_slots], np.int32),
+            jnp.asarray([0], np.int32), page_size=ps,
+            n_pages=self.n_pages, attn_impl=self.attn_impl)
+        key = next(self._shared_keys)
+        self._shared_refs[key] = {"ids": shared, "count": len(prompts)}
+        rids = []
+        for ids in enc:
+            rid = next(self._ids)
+            self.queue.append(_Request(rid, ids, pixel_values,
+                                       max_new_tokens, tail_ids=ids[:, 1:],
+                                       shared_key=key))
+            rids.append(rid)
+        return rids
+
     def _pages_needed(self, req: _Request) -> int:
         fused = req.prompt_ids.shape[1] + self.cfg.num_patches
         return -(-fused // self.page_size)
+
+    def _admit_shared_tail(self, req: _Request, slot: int) -> None:
+        ps = self.page_size
+        prefix_len = 1 + self.cfg.num_patches
+        p0 = prefix_len // ps
+        fused = req.prompt_ids.shape[1] + self.cfg.num_patches
+        n_own = -(-(fused + req.max_new_tokens) // ps) - p0
+        shared = self._shared_refs[req.shared_key]["ids"]
+        own = [self.free_pages.pop(0) for _ in range(n_own)]
+        table_row = np.full((self.max_pages_per_slot,), -1, np.int32)
+        table_row[:p0] = shared[:p0]
+        table_row[p0:p0 + n_own] = own
+        self.pool = _prefill_tail_into_pool(
+            self.params["llm"], self.cfg.llm, self.pool,
+            jnp.asarray(req.tail_ids), jnp.asarray(shared, np.int32),
+            jnp.asarray(own, np.int32), jnp.int32(slot),
+            jnp.int32(req.max_new_tokens), jnp.asarray(table_row),
+            prefix_len=prefix_len, page_size=ps, n_pages=self.n_pages)
+        req.slot = slot
+        req.n_pages = p0 + n_own
+        req.page_ids = own
+        self._page_owner[own] = slot
+        self._page_pos[own] = p0 + np.arange(n_own, dtype=np.int32)
+        self._len[slot] = fused
+        self._remaining[slot] = req.max_new_tokens
+        self.running[slot] = req
 
     def _admit(self) -> None:
         free_slots = [s for s in range(self.num_slots)
                       if s not in self.running]
         while free_slots and self.queue:
+            if self.queue[0].tail_ids is not None:
+                # shared-prefix request: individual tail admission
+                req = self.queue[0]
+                prefix_len = 1 + self.cfg.num_patches
+                p0 = prefix_len // self.page_size
+                fused = req.prompt_ids.shape[1] + self.cfg.num_patches
+                n_own = (-(-(fused + req.max_new_tokens)
+                           // self.page_size) - p0)
+                if len(self.free_pages) < n_own + 1:
+                    break                        # admission waits for pages
+                self.queue.pop(0)
+                self._admit_shared_tail(req, free_slots.pop(0))
+                continue
             # group the front of the queue: EQUAL prompt lengths batch into
             # ONE prefill (all-ones mask, no left-pad plumbing); a
-            # different-length head request ends the group
+            # different-length (or shared-prefix) head request ends the
+            # group
             lead_len = self.queue[0].prompt_ids.shape[1]
             n0 = self._pages_needed(self.queue[0])
             group: List[_Request] = []
             pages_taken = 0
             for req in self.queue:
                 if (len(group) >= len(free_slots)
+                        or req.tail_ids is not None
                         or req.prompt_ids.shape[1] != lead_len
                         or len(self.free_pages) - pages_taken < n0 + 1):
                     break                        # admission waits for pages
@@ -961,6 +1175,12 @@ class PagedServingEngine:
                 self.free_pages.extend(req.page_ids)
                 self._page_owner[req.page_ids] = -1
                 req.page_ids = []
+                if req.shared_key is not None:
+                    rec = self._shared_refs[req.shared_key]
+                    rec["count"] -= 1
+                    if rec["count"] == 0:       # last group member retired
+                        self.free_pages.extend(rec["ids"])
+                        del self._shared_refs[req.shared_key]
                 del self.running[slot]
         return done_now
 

@@ -160,3 +160,68 @@ def test_paged_attn_variants_token_parity(setup, variant, quantized):
             assert g[:n] == b[:n], (base, got)
     else:
         assert got == base, (variant, quantized, base, got)
+
+
+def test_shared_prefix_admission_matches_solo(setup):
+    """submit_shared: N same-frame queries share the BOS+patch-block KV in
+    refcounted pages; tails prefill individually. Tokens must match each
+    prompt run alone on the plain engine, shared pages must be freed only
+    after the LAST group member retires, and the group must hold fewer
+    pages than N independent admissions would."""
+    cfg, params, tok, pixels = setup
+    ps = 4                                   # prefix_len = 1 + 4 patches
+    prefix_len = 1 + cfg.num_patches
+    p0 = prefix_len // ps                    # 1 full shared page
+    assert p0 >= 1
+    px = pixels(7)
+    prompts = ["In: pick up the cup\nOut:", "In: wipe the table\nOut:",
+               "In: close that drawer now\nOut:"]   # mixed tail lengths
+    eng = PagedServingEngine(cfg, params, tok, num_slots=3, n_pages=64,
+                             page_size=ps, max_pages_per_slot=16,
+                             burst=4, paged_attn="burstdense")
+    rids = eng.submit_shared(prompts, px, max_new_tokens=6)
+    shared_ids = list(eng._shared_refs.values())[0]["ids"]
+    assert len(shared_ids) == -(-prefix_len // ps)
+    eng._admit()
+    # the full shared pages appear in EVERY running slot's table mirror
+    own_union = set()
+    for req in eng.running.values():
+        assert req.n_pages >= p0
+        own_union.update(req.page_ids)
+    assert own_union.isdisjoint(shared_ids)
+    done = eng.run_until_complete()
+    for rid, p in zip(rids, prompts):
+        ref = _reference_tokens(cfg, params, tok, p, px, 6)
+        assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
+    # every page (shared + own) returned to the free list
+    assert sorted(eng.free_pages) == list(range(64))
+
+
+def test_shared_prefix_refcount_holds_until_last(setup):
+    """With one slot, group members run sequentially; the shared pages must
+    stay allocated across retirements until the last member finishes."""
+    cfg, params, tok, pixels = setup
+    px = pixels(9)
+    eng = PagedServingEngine(cfg, params, tok, num_slots=1, n_pages=32,
+                             page_size=4, max_pages_per_slot=16,
+                             burst=4, paged_attn="gather")
+    rids = eng.submit_shared(["In: lift the box\nOut:",
+                              "In: push the plate\nOut:"], px,
+                             max_new_tokens=4)
+    key = next(iter(eng._shared_refs))
+    shared_ids = set(eng._shared_refs[key]["ids"])
+    saw_mid = False
+    for _ in range(200):
+        eng.step()
+        if eng.finished and (eng.running or eng.queue):
+            assert key in eng._shared_refs       # first retired, pages held
+            assert shared_ids.isdisjoint(eng.free_pages)
+            saw_mid = True
+        if not eng.queue and not eng.running:
+            break
+    assert saw_mid and key not in eng._shared_refs
+    assert sorted(eng.free_pages) == list(range(32))
+    for rid, p in zip(rids, ["In: lift the box\nOut:",
+                             "In: push the plate\nOut:"]):
+        ref = _reference_tokens(cfg, params, tok, p, px, 4)
+        assert eng.finished[rid][:len(ref)] == ref
