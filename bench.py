@@ -381,6 +381,36 @@ def main():
         extras["paged_6req_agg_tok_s"] = round(total_toks / t_paged, 1)
         extras["paged_pool_token_slots"] = 34 * 128  # int8 rows
 
+        # shared-prefix admission: 4 same-frame queries share the BOS+patch
+        # block (~558 of ~690 fused positions) in refcounted pages — the
+        # ViT towers + most prefill compute run once per frame
+        try:
+            def admit_all(shared):
+                eng = PagedServingEngine(cfg, q4params, tok, num_slots=4,
+                                         n_pages=34, page_size=128,
+                                         max_pages_per_slot=8, burst=64,
+                                         quantized_cache=True)
+                qs = [prompt[:-1] + s for s in
+                      ("A", "B", "C", "D")]     # equal-length variants
+                if shared:
+                    eng.submit_shared(qs, pixels, max_new_tokens=8)
+                else:
+                    for q in qs:
+                        eng.submit(q, pixels, max_new_tokens=8)
+                t0 = time.perf_counter()
+                eng._admit()
+                jax.block_until_ready(eng.pool["k"])
+                return time.perf_counter() - t0
+
+            for s_ in (True, False):
+                admit_all(s_)                 # compile
+            extras["paged_admit4_shared_ms"] = round(
+                admit_all(True) * 1e3, 1)
+            extras["paged_admit4_independent_ms"] = round(
+                admit_all(False) * 1e3, 1)
+        except Exception as e:  # pragma: no cover
+            extras["paged_shared_error"] = str(e)[:120]
+
         # dense comparison: one batched engine call, 6 rows, 64 new tokens
         imgs6 = rng.integers(0, 256, size=(6, 256, 256, 3), dtype=np.uint8)
         pixels6 = preprocess_for_towers(jnp.asarray(imgs6),
