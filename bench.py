@@ -392,12 +392,15 @@ def main():
                                          quantized_cache=True)
                 qs = [prompt[:-1] + s for s in
                       ("A", "B", "C", "D")]     # equal-length variants
+                # time from submission: submit_shared runs the one-time
+                # prefix prefill (ViTs + patch block) eagerly, and that
+                # cost belongs in the shared number
+                t0 = time.perf_counter()
                 if shared:
                     eng.submit_shared(qs, pixels, max_new_tokens=8)
                 else:
                     for q in qs:
                         eng.submit(q, pixels, max_new_tokens=8)
-                t0 = time.perf_counter()
                 eng._admit()
                 jax.block_until_ready(eng.pool["k"])
                 return time.perf_counter() - t0

@@ -192,10 +192,14 @@ class ContinuousServingEngine:
             # one batched prefill for the queue's equal-length head (a
             # different-length request ends the group)
             lead_len = self.queue[0].prompt_ids.shape[1]
+            lead_keys = set(self.queue[0].pixel_values)
             group: List[_Request] = []
             for req in self.queue:
                 if (len(group) >= len(free)
-                        or req.prompt_ids.shape[1] != lead_len):
+                        or req.prompt_ids.shape[1] != lead_len
+                        # raw pixels and pre-encoded {"patches"} requests
+                        # cannot concatenate into one prefill batch
+                        or set(req.pixel_values) != lead_keys):
                     break
                 group.append(req)
             del self.queue[:len(group)]

@@ -95,6 +95,17 @@ def _write_rows(pages, rows, gids, offs):
     return jax.lax.fori_loop(0, B, body, pages)
 
 
+def _attn_mlp_tail(h, attn_flat, p, eps):
+    """Output projection + gated-MLP residual shared by every decode/prefill
+    layer body in this module (the KV plumbing is what varies per path;
+    keeping the rest in one place stops the copies drifting — a dropped
+    write gate in one copy was a real page-corruption bug)."""
+    h = h + mm(attn_flat, p["wo"])
+    x2 = rms_norm(h, p["mlp_norm"], eps)
+    return h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
+                  p["w_down"])
+
+
 def _q_grouped(q, kv: int):
     """[B, 1, H, hd] -> [B, KV, G, hd] grouped for GQA (head k*G+g reads kv
     head k — matches ``_repeat_kv``'s ``jnp.repeat`` layout)."""
@@ -375,10 +386,7 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
             attn = multi_head_attention(
                 q, k_c.astype(h.dtype), v_c.astype(h.dtype),
                 kv_mask=kv_mask, causal=True, q_offset=t)
-        h = h + mm(attn.reshape(B, 1, -1), p["wo"])
-        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
-                   p["w_down"])
+        h = _attn_mlp_tail(h, attn.reshape(B, 1, -1), p, llm_cfg.norm_eps)
         if quantized:
             return (h, k_pages, v_pages, k_scale, v_scale)
         return (h, k_pages, v_pages)
@@ -513,10 +521,7 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
                               v_l.astype(opd),
                               preferred_element_type=jnp.float32)
             attn = attn.reshape(B, 1, -1).astype(h.dtype)
-            h = h + mm(attn, p["wo"])
-            x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
-            h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
-                       p["w_down"])
+            h = _attn_mlp_tail(h, attn, p, llm_cfg.norm_eps)
             if quantized:
                 return (h, kc, vc, ksc, vsc)
             return (h, kc, vc)
@@ -554,8 +559,15 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
     # write back ONLY the touched pages (burst <= page_size => at most 2
     # per slot per layer). Whole-page copies: untouched rows are identical
     # to the pool's, rows past `len` are junk both sides (length-masked).
+    # CRITICAL gate: slots INACTIVE at burst start write to the trash page.
+    # A finished slot keeps its stale device page-table row (the host only
+    # returns the page ids to the free list), so once a freed page is
+    # reassigned to another request, an ungated stale writeback would
+    # clobber the new owner's KV every burst (regression:
+    # test_freed_page_reuse_not_corrupted_by_stale_slot).
     n_touch = burst // page_size + 2
     p0 = len0 // page_size                              # [B]
+    active0 = pool["active"]                            # [B] at burst start
 
     def writeback(pool_arr, scratch, extra_dim):
         def body(idx, arr):
@@ -563,7 +575,8 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
             r = idx % (B * n_touch)
             b, j = r // n_touch, r % n_touch
             pi = jnp.minimum(p0[b] + j, MP - 1)
-            local = local_table[b, pi]                  # trash if -1
+            local = jnp.where(active0[b], local_table[b, pi],
+                              n_pages)                  # trash if -1/stale
             src = jax.lax.dynamic_slice(
                 scratch, (0, l, b, pi * page_size) + (0,) * len(extra_dim),
                 (kv, 1, 1, page_size) + extra_dim)
@@ -720,10 +733,7 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
         v_pool = write_pages(v_pool, v_pg, i)
         attn = multi_head_attention(q, k, v, kv_mask=fmask, causal=True,
                                     impl=attn_impl)
-        h = h + mm(attn.reshape(B, S, -1), p["wo"])
-        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
-                   p["w_down"])
+        h = _attn_mlp_tail(h, attn.reshape(B, S, -1), p, llm_cfg.norm_eps)
         if quantized:
             return (h, k_pool, v_pool, ks_pool, vs_pool)
         return (h, k_pool, v_pool)
@@ -834,10 +844,7 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
             [pre_valid, jnp.ones((T,), bool)])[None]   # [1, Sp+T]
         attn = multi_head_attention(q, k_cat, v_cat, kv_mask=kv_mask,
                                     causal=True, q_offset=jnp.int32(Sp))
-        h = h + mm(attn.reshape(B, T, -1), p["wo"])
-        x2 = rms_norm(h, p["mlp_norm"], llm_cfg.norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["w_gate"])) * mm(x2, p["w_up"]),
-                   p["w_down"])
+        h = _attn_mlp_tail(h, attn.reshape(B, T, -1), p, llm_cfg.norm_eps)
         # own region = prefix rows past the last full shared page + tail
         full_k = jnp.concatenate(
             [k_pre[:, own_start:prefix_len].astype(k_t.dtype), k_t], axis=1)
@@ -983,6 +990,8 @@ class PagedServingEngine:
         if self.paged_attn == "poolmask":
             raise ValueError("poolmask's single-owner page mask cannot "
                              "express shared pages; use burstdense/gather")
+        if not prompts:
+            raise ValueError("submit_shared needs at least one prompt")
         ps = self.page_size
         prefix_len = 1 + self.cfg.num_patches
         n_pre = -(-prefix_len // ps)
@@ -990,6 +999,10 @@ class PagedServingEngine:
         enc = [np.asarray([self.tokenizer.encode(p)], np.int32)
                for p in prompts]
         for ids in enc:
+            if ids.shape[1] < 2:
+                raise ValueError("shared-prefix prompts need at least one "
+                                 "token after BOS (the tail prefill cannot "
+                                 "run on an empty tail)")
             fused = ids.shape[1] + self.cfg.num_patches
             n_own = -(-(fused + max_new_tokens) // ps) - p0
             if p0 + n_own > self.max_pages_per_slot:
@@ -1071,6 +1084,7 @@ class PagedServingEngine:
             # different-length (or shared-prefix) head request ends the
             # group
             lead_len = self.queue[0].prompt_ids.shape[1]
+            lead_keys = set(self.queue[0].pixel_values)
             n0 = self._pages_needed(self.queue[0])
             group: List[_Request] = []
             pages_taken = 0
@@ -1078,6 +1092,9 @@ class PagedServingEngine:
                 if (len(group) >= len(free_slots)
                         or req.tail_ids is not None
                         or req.prompt_ids.shape[1] != lead_len
+                        # raw pixels and pre-encoded {"patches"} requests
+                        # cannot concatenate into one prefill batch
+                        or set(req.pixel_values) != lead_keys
                         or len(self.free_pages) - pages_taken < n0 + 1):
                     break                        # admission waits for pages
                 group.append(req)

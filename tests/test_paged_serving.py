@@ -225,3 +225,33 @@ def test_shared_prefix_refcount_holds_until_last(setup):
                              "In: push the plate\nOut:"]):
         ref = _reference_tokens(cfg, params, tok, p, px, 4)
         assert eng.finished[rid][:len(ref)] == ref
+
+
+def test_freed_page_reuse_not_corrupted_by_stale_slot(setup):
+    """A finished slot keeps its stale device page-table row; when its freed
+    pages are reassigned to a still-running request, the inactive slot's
+    burst-dense writeback must NOT clobber the new owner (regression for
+    the active-at-burst-start writeback gate).
+
+    Scenario engineering: the long request B sits in a LOWER slot than the
+    short request A (writeback iterates slots ascending, so without the
+    gate A's stale whole-page write lands AFTER B's and wins), and the
+    page pool is sized so B's growth reaches A's old CURSOR page (the page
+    a stale slot keeps touching)."""
+    cfg, params, tok, pixels = setup
+    px = pixels(55)
+    prompt_b = "In: wipe the table !\nOut:"     # slot 0, keeps growing
+    prompt_a = "In: pick up the cup\nOut:"      # slot 1, finishes fast
+    eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=4,
+                             page_size=32, max_pages_per_slot=5,
+                             burst=4, paged_attn="burstdense")
+    rid_b = eng.submit(prompt_b, px, max_new_tokens=90)
+    rid_a = eng.submit(prompt_a, px, max_new_tokens=4)
+    done = eng.run_until_complete()
+    assert rid_a in done and rid_b in done
+    # B must actually have reused A's cursor page for the test to bite
+    ref_b = _reference_tokens(cfg, params, tok, prompt_b, px, 90)
+    assert done[rid_b][:len(ref_b)] == ref_b, (done[rid_b][:12], ref_b[:12])
+    ref_a = _reference_tokens(cfg, params, tok, prompt_a, px, 4)
+    assert done[rid_a][:len(ref_a)] == ref_a
+    assert sorted(eng.free_pages) == list(range(4))
