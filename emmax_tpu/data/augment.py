@@ -55,10 +55,15 @@ def random_resized_crop(image, scale: Sequence[float],
         maxval=tf.math.log(float(ratio[1])) + 1e-9)
     aspect = tf.exp(log_ratio)
 
-    # fractional crop size; clip keeps the box inside the image for any
-    # (scale, ratio) combination
-    new_h = tf.clip_by_value(tf.sqrt(area / aspect), 0.0, 1.0)
-    new_w = tf.clip_by_value(tf.sqrt(area * aspect), 0.0, 1.0)
+    # torchvision defines the aspect ratio in PIXEL space (crop_w/crop_h in
+    # pixels) — converting to fractional coordinates folds in the image's
+    # own aspect (fh = sqrt(area·W/(aspect·H)), fw = sqrt(area·aspect·H/W));
+    # without it a ratio=[1,1] crop of a 640x480 image came out 4:3, not
+    # square. Square inputs (the shipped Emma-X recipe) are unaffected.
+    # clip keeps the box inside the image for any (scale, ratio) combo
+    img_aspect = width / height
+    new_h = tf.clip_by_value(tf.sqrt(area * img_aspect / aspect), 0.0, 1.0)
+    new_w = tf.clip_by_value(tf.sqrt(area * aspect / img_aspect), 0.0, 1.0)
     off_h = tf.random.stateless_uniform([], _fold(seed, 2)) * (1.0 - new_h)
     off_w = tf.random.stateless_uniform([], _fold(seed, 3)) * (1.0 - new_w)
 

@@ -361,7 +361,8 @@ def flatten_trajectories(ds):
 def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
                            train: bool = False,
                            image_augment_kwargs: Optional[Dict] = None,
-                           num_parallel_calls: int = 16):
+                           num_parallel_calls: int = 16,
+                           augment_seed: int = 0):
     """Decode + resize, then (train only) augment every ``image_*`` key with
     a per-frame random seed (dataset.py:590-645: decode/resize at :627-634,
     augmentation at :636-643 via obs_transforms.augment; parallelism default
@@ -393,11 +394,19 @@ def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
     if train and image_augment_kwargs:
         from emmax_tpu.data.augment import augment_image
 
-        def augment_frame(frame):
+        def augment_frame(idx, frame):
             # one seed per frame; all image keys/window steps share it so
             # multi-view geometry stays consistent, with the image-name
-            # index folded in (obs_transforms.py:27-40)
-            seed = tf.random.uniform([2], maxval=tf.int32.max, dtype=tf.int32)
+            # index folded in (obs_transforms.py:27-40). STATELESS: the
+            # seed folds the frame's ENUMERATION index with augment_seed —
+            # reruns and checkpoint-restored pipelines see identical
+            # augmentations (the augment ops are pure functions of
+            # (image, seed)), while repeated epochs keep counting up so
+            # augmentation diversity matches the reference's stateful
+            # tf.random.uniform (dataset.py:639) without its
+            # irreproducibility under a parallel map
+            seed = tf.stack([tf.cast(idx % (2 ** 31 - 1), tf.int32),
+                             tf.constant(augment_seed, tf.int32)])
             obs = frame["observation"]
             names = sorted(k[6:] for k in obs if k.startswith("image_"))
             if "augment_order" in image_augment_kwargs:
@@ -429,7 +438,8 @@ def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
             frame["observation"] = obs
             return frame
 
-        ds = ds.map(augment_frame, num_parallel_calls=num_parallel_calls)
+        ds = ds.enumerate().map(
+            augment_frame, num_parallel_calls=num_parallel_calls)
     return ds
 
 

@@ -430,7 +430,33 @@ class SpeculativeEngine(ServingEngine):
         DEVICE pixel arrays, which costs one ~30 ms relay fetch per tower
         per frame — the robot loop always has the host frame available."""
         if self._bf16_fallback:
-            # fenced: plain greedy decode (token-identical; no speculation)
+            # fenced: plain greedy decode (token-identical for FREE-RUN
+            # generation; no speculation). Teacher-forcing has no plain-
+            # decode equivalent — silently returning free-run tokens would
+            # corrupt acceptance stats and draft contexts downstream, so
+            # refuse loudly instead.
+            if forced_tokens is not None:
+                raise ValueError(
+                    "SpeculativeEngine bf16 fallback cannot honor "
+                    "forced_tokens (plain decode has no teacher-forcing): "
+                    "quantize the weights, shard them over a mesh, or pass "
+                    "force_bf16_spec=True")
+            # the cross-frame vision cache still applies: resolve patches
+            # through it (host frame_key) so the fallback keeps the
+            # ViT-reuse savings rather than re-encoding every frame
+            vc = self.vision_cache
+            if vc is not None and "patches" not in pixel_values:
+                fp = (vc.fingerprint_host(frame_key)
+                      if frame_key is not None
+                      else vc.fingerprint(pixel_values))
+                patches = vc.lookup(fp)
+                if patches is None:
+                    from emmax_tpu.serving.engine import encode_frame
+                    patches = encode_frame(self.params, self.cfg,
+                                           pixel_values,
+                                           attn_impl=self.attn_impl)
+                    vc.store(fp, patches)
+                pixel_values = {"patches": patches}
             self.last_steps = None
             self.last_prefill = "plain-fallback"
             return super().generate_ids(prompts, pixel_values,

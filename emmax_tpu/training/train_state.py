@@ -154,9 +154,17 @@ def make_optimizer(params: Params, *, learning_rate: float,
                 lambda m: "train" if bool(__import__("numpy").any(m))
                 else "freeze", mask)),
     )
-    # per-leaf partial-freeze (last-layer stages) applied to grads up front
+    # per-leaf partial-freeze (last-layer stages): mask the grads up front
+    # AND the final updates. The trailing mask is load-bearing — a stacked
+    # leaf with ANY trainable layer is labeled "train", so adamw's
+    # add_decayed_weights emits -lr*wd*param for its FROZEN layers too
+    # (zeroed grads keep the moments clean, but decay reads params);
+    # without the trailing mask, "frozen" backbone layers decay toward
+    # zero every step (regression:
+    # test_data_and_loop.py::test_frozen_params_not_decayed).
     freeze_grads = jax.tree_util.tree_map(lambda m: m, mask)
-    tx = optax.chain(_mask_grads(freeze_grads), tx)
+    tx = optax.chain(_mask_grads(freeze_grads), tx,
+                     _mask_grads(freeze_grads))
     return tx, schedule
 
 

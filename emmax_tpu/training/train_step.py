@@ -167,7 +167,19 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
                              *a.shape[1:])
 
         micro_batches = jax.tree_util.tree_map(reshape, batch)
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        # accumulator must MIRROR grad_fn's output structure: frozen leaves
+        # carry scalar placeholder grads, and a full-shape zeros_like init
+        # would broadcast them back to param shape on the first add —
+        # re-materializing the frozen-gradient tree (13.5 GB at 7B) the
+        # subset-differentiation path exists to avoid
+        if _frozen_leaf is not None:
+            flat_p, treedef = jax.tree_util.tree_flatten(state.params)
+            flat_frozen = jax.tree_util.tree_leaves(_frozen_leaf)
+            zeros = jax.tree_util.tree_unflatten(treedef, [
+                jnp.zeros((), p.dtype) if fz else jnp.zeros_like(p)
+                for p, fz in zip(flat_p, flat_frozen)])
+        else:
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         init = (zeros, jnp.zeros(()),
                 {"action_accuracy": jnp.zeros(()), "action_l1": jnp.zeros(())})
         (grads, loss, aux), _ = jax.lax.scan(micro, init, micro_batches)

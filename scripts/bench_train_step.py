@@ -145,12 +145,15 @@ def main():
     tok_llm = B * F
     tok_vis = B * (P + 8)                  # + prefix tokens, approx
     # matmul flops: fwd 2N per token; dW bwd 2N (trainable only); dx bwd 2N
+    # vis_bwd must match stop_vision_gradient above: frozen-vision stages
+    # (align AND vla-train) never run the tower backward, so counting it
+    # would inflate mfu_hw for the headline proxy config
     if stage == "align":
         trainable_llm = 0.0
-        vis_bwd = 0.0                      # stop_gradient on towers
     else:
         trainable_llm = n_llm
-        vis_bwd = 4 * n_vis * tok_vis
+    vis_bwd = 0.0 if stage in ("align", "vla-train") \
+        else 4 * n_vis * tok_vis
     fwd = 2 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
     bwd = (2 * n_llm * tok_llm            # dx through llm
            + 2 * trainable_llm * tok_llm  # dW

@@ -266,6 +266,12 @@ def test_frame_transform_augmentation_wiring(tmp_path):
     # augmentation changes pixel content (same frame ordering both pipelines)
     assert np.abs(f1["observation"]["image_primary"].astype(int)
                   - f0["observation"]["image_primary"].astype(int)).sum() > 0
+    # STATELESS seeding: re-iterating the pipeline reproduces the exact
+    # augmentation (enumerate-index seed; a stateful tf.random draw under
+    # a parallel map broke this)
+    f1b = next(iter(auged.as_numpy_iterator()))
+    np.testing.assert_array_equal(f1["observation"]["image_primary"],
+                                  f1b["observation"]["image_primary"])
 
 
 def test_rlds_iterable_dataset_with_aug(tmp_path):

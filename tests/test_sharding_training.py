@@ -215,3 +215,71 @@ def test_freeze_mask_grad_subset_matches_masked_path():
     np.testing.assert_array_equal(
         np.asarray(s_sub.params["llm"]["layers"]["wq"]),
         np.asarray(params["llm"]["layers"]["wq"]))
+
+
+def test_frozen_params_not_decayed():
+    """Weight decay must not touch frozen elements of PARTIALLY trainable
+    leaves: a stacked-layer leaf with one trainable layer is labeled
+    'train' for adamw, whose add_decayed_weights reads PARAMS (not the
+    masked grads) — without the trailing update mask the frozen layers
+    decayed by lr*wd*|w| every step (review round 3)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-2, weight_decay=0.1,
+                           max_grad_norm=1.0, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-last-layer-train")
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, tx, remat=False,
+                                   compute_dtype=jnp.float32))
+    rng = np.random.default_rng(3)
+    before = np.asarray(params["llm"]["layers"]["wq"]).copy()
+    state, _ = step(state, _make_batch(cfg, rng, B=2))
+    after = np.asarray(state.params["llm"]["layers"]["wq"])
+    np.testing.assert_array_equal(before[:-1], after[:-1])  # frozen layers
+    assert not np.array_equal(before[-1], after[-1])        # last trains
+    # fully frozen leaf with decayable shape (vision tower weight)
+    v_before = np.asarray(params["vision"]["dino"]["blocks"]["wqkv"])
+    v_after = np.asarray(state.params["vision"]["dino"]["blocks"]["wqkv"])
+    np.testing.assert_array_equal(v_before, v_after)
+
+
+def test_grad_accum_keeps_frozen_leaves_scalar_in_carry():
+    """With freeze_mask + grad_accum_steps > 1, the accumulator must mirror
+    grad_fn's scalar placeholders for frozen leaves — a zeros_like init
+    broadcast them back to param shape in the scan CARRY, re-materializing
+    the frozen-gradient tree the subset-differentiation path exists to
+    avoid (13.5 GB at 7B). Checked structurally on the scan carry avals,
+    plus numerical parity with the unaccumulated step."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    mask = trainable_mask(params, "vla-train")        # vision frozen
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1e9, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-train")
+    rng = np.random.default_rng(4)
+    batch = _make_batch(cfg, rng, B=4)
+    accum = make_train_step(cfg, tx, remat=False, compute_dtype=jnp.float32,
+                            grad_accum_steps=2, freeze_mask=mask)
+    s0 = create_train_state(params, tx)
+    jaxpr = jax.make_jaxpr(accum)(s0, batch)
+    scan_eqns = [e for e in jaxpr.eqns if e.primitive.name == "scan"]
+    assert scan_eqns, "accum step should lower to a lax.scan"
+    frozen_shape = tuple(params["vision"]["dino"]["blocks"]["wqkv"].shape)
+    for eqn in scan_eqns:
+        nc, nk = eqn.params["num_consts"], eqn.params["num_carry"]
+        carry_shapes = [tuple(v.aval.shape)
+                        for v in eqn.invars[nc:nc + nk]]
+        assert frozen_shape not in carry_shapes, carry_shapes
+    # numerical parity with the single step
+    single = make_train_step(cfg, tx, remat=False,
+                             compute_dtype=jnp.float32, freeze_mask=mask)
+    s_a, m_a = jax.jit(accum)(create_train_state(params, tx), batch)
+    s_s, m_s = jax.jit(single)(create_train_state(params, tx), batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    wq_a = np.asarray(s_a.params["llm"]["layers"]["wq"])
+    wq_s = np.asarray(s_s.params["llm"]["layers"]["wq"])
+    np.testing.assert_allclose(wq_a, wq_s, atol=1e-5)
+    v_a = np.asarray(s_a.params["vision"]["dino"]["blocks"]["wqkv"])
+    np.testing.assert_array_equal(
+        v_a, np.asarray(params["vision"]["dino"]["blocks"]["wqkv"]))

@@ -388,3 +388,32 @@ def test_bf16_fence_falls_back_to_plain_decode(setup, monkeypatch):
     assert not forced._bf16_fallback
     got2 = forced.generate_ids(["In: do the thing\nOut: "], pixels)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+def test_bf16_fence_refuses_forced_tokens_and_keeps_vision_cache(
+        setup, monkeypatch):
+    """The fallback cannot honor teacher-forcing (plain decode has none) —
+    silently returning free-run tokens would corrupt acceptance stats, so
+    it must refuse loudly. The cross-frame vision cache must still be used
+    (the fallback fix originally dropped frame_key entirely)."""
+    import pytest as _pytest
+
+    import emmax_tpu.serving.speculative as spec_mod
+    from emmax_tpu.serving.engine import VisionCache
+
+    cfg, params, tok = setup
+    rng = np.random.default_rng(6)
+    pixels = _pixels(cfg, rng, 1)
+    opts = GenerateOptions(temperature=0.0, max_new_tokens=6, eos_id=-1)
+    monkeypatch.setattr(spec_mod, "_spec_bf16_oom_risk", lambda p: True)
+    eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4,
+                            vision_cache=VisionCache(threshold=0.02))
+    with _pytest.raises(ValueError, match="forced_tokens"):
+        eng.generate_ids(["In: x\nOut: "], pixels,
+                         forced_tokens=np.arange(32, dtype=np.int32))
+    frame = np.zeros((32, 32, 3), np.uint8)
+    out1 = eng.generate_ids(["In: x\nOut: "], pixels, frame_key=frame)
+    assert len(eng.vision_cache.entries) == 1         # encoded + stored
+    out2 = eng.generate_ids(["In: x\nOut: "], pixels, frame_key=frame)
+    assert eng.vision_cache.hits == 1                 # second frame hit
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
