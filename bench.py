@@ -414,6 +414,28 @@ def main():
         except Exception as e:  # pragma: no cover
             extras["paged_shared_error"] = str(e)[:120]
 
+        # dense slot-pool continuous engine on the same workload (batched
+        # admission + in-place per-row cursor writes, round 3)
+        try:
+            from emmax_tpu.serving.continuous import ContinuousServingEngine
+
+            def run_cont():
+                eng = ContinuousServingEngine(cfg, q4params, tok,
+                                              num_slots=6, cache_len=1024,
+                                              burst=32)
+                for _ in range(6):
+                    eng.submit(prompt, pixels, max_new_tokens=64)
+                t0 = time.perf_counter()
+                done = eng.run_until_complete()
+                return (sum(len(v) for v in done.values()),
+                        time.perf_counter() - t0)
+
+            run_cont()                       # warmup/compile
+            toks_c, t_c = run_cont()
+            extras["continuous_6req_agg_tok_s"] = round(toks_c / t_c, 1)
+        except Exception as e:  # pragma: no cover
+            extras["continuous_error"] = str(e)[:120]
+
         # dense comparison: one batched engine call, 6 rows, 64 new tokens
         imgs6 = rng.integers(0, 256, size=(6, 256, 256, 3), dtype=np.uint8)
         pixels6 = preprocess_for_towers(jnp.asarray(imgs6),
