@@ -202,7 +202,9 @@ def _poolmask_attention(q, k_pages, v_pages, k_scale, v_scale, layer,
     trash) and ``page_pos`` (page rank within its slot) are host-maintained
     and passed per burst; token ``(p, o)`` is visible to slot ``b`` iff
     ``owner[p] == b and pos[p]*ps + o < len[b]``. Extra masked-score FLOPs
-    are MXU change (~2 GFLOP/layer at 7B shapes vs the 3.5 GB weight read).
+    were ESTIMATED as MXU change, but measured at B=6/pool=4480 they are
+    ~0.9 TFLOP/step (every row scans the whole pool) — which is why
+    burstdense, not poolmask, is the default (282 vs 424 agg tok/s).
     """
     B = lengths.shape[0]
     kv, _, _, hd = k_pages.shape
