@@ -255,3 +255,28 @@ def test_freed_page_reuse_not_corrupted_by_stale_slot(setup):
     ref_a = _reference_tokens(cfg, params, tok, prompt_a, px, 4)
     assert done[rid_a][:len(ref_a)] == ref_a
     assert sorted(eng.free_pages) == list(range(4))
+
+
+@pytest.mark.parametrize("page_size,quantized", [(32, False), (4, True),
+                                                 (5, False)])
+def test_shared_prefix_corner_configs(setup, page_size, quantized):
+    """Shared prefix across page geometries: ps=32 → prefix smaller than a
+    page (p0=0, boundary-copy only); ps=4 + int8 pages (quantized gather +
+    requantized boundary rows); ps=5 → prefix_len % ps == 0 (page-aligned,
+    no boundary page in the own region)."""
+    cfg, params, tok, pixels = setup
+    prefix_len = 1 + cfg.num_patches
+    if page_size == 5:
+        assert prefix_len % page_size == 0
+    px = pixels(11)
+    prompts = ["In: fold the shirt\nOut:", "In: open the jar lid\nOut:"]
+    eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=64,
+                             page_size=page_size, max_pages_per_slot=32,
+                             burst=4, quantized_cache=quantized)
+    rids = eng.submit_shared(prompts, px, max_new_tokens=5)
+    done = eng.run_until_complete()
+    for rid, p in zip(rids, prompts):
+        ref = _reference_tokens(cfg, params, tok, p, px, 5)
+        n = min(3, len(ref)) if quantized else len(ref)
+        assert done[rid][:n] == ref[:n], (p, done[rid], ref)
+    assert sorted(eng.free_pages) == list(range(64))
