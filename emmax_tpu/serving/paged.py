@@ -650,10 +650,12 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
 
 
 @partial(jax.jit, donate_argnums=(2,),
-         static_argnames=("cfg", "page_size", "n_pages", "attn_impl"))
+         static_argnames=("cfg", "page_size", "n_pages", "attn_impl",
+                          "contiguous"))
 def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
                        page_ids, slots, max_new, *, page_size: int,
-                       n_pages: int, attn_impl: str = "xla"):
+                       n_pages: int, attn_impl: str = "xla",
+                       contiguous: bool = False):
     """Multimodal prefill of G EQUAL-LENGTH prompts written DIRECTLY into
     each slot's pages.
 
@@ -703,6 +705,14 @@ def _prefill_into_pool(params, cfg: VLMConfig, pool, input_ids, pixel_values,
                                                      page_size, hd)
 
     def write_pages(pages, src, i):
+        # contiguous fast path (the common cold-start/grouped admission:
+        # the host pops G*n0 CONSECUTIVE page ids): the whole group's pages
+        # land in ONE dynamic_update_slice per layer per tensor
+        if contiguous:
+            val = src.transpose(1, 0, 2, 3)          # [KV, G*n0, ps, last]
+            return jax.lax.dynamic_update_slice(
+                pages, val.astype(pages.dtype),
+                (0, i * stride + gid_local[0], 0, 0))
         # scalar-start DUS per page (see _write_rows: advanced-index scatter
         # across the huge page axis lowers ~5x slower)
         def body(j, pg):
@@ -1015,6 +1025,7 @@ class PagedServingEngine:
             raise RuntimeError("no free pages for the shared prefix")
         shared = [self.free_pages.pop(0) for _ in range(n_pre)]
         bos = jnp.asarray(enc[0][:, :1])
+        contig = shared == list(range(shared[0], shared[0] + n_pre))
         self.pool = _prefill_into_pool(
             self.params, self.cfg, self.pool, bos, pixel_values,
             jnp.asarray([shared], np.int32),
@@ -1022,7 +1033,8 @@ class PagedServingEngine:
             # prefix K/V lands in the pages with NO slot metadata written
             jnp.asarray([self.num_slots], np.int32),
             jnp.asarray([0], np.int32), page_size=ps,
-            n_pages=self.n_pages, attn_impl=self.attn_impl)
+            n_pages=self.n_pages, attn_impl=self.attn_impl,
+            contiguous=contig)
         key = next(self._shared_keys)
         self._shared_refs[key] = {"ids": shared, "count": len(prompts)}
         rids = []
@@ -1113,13 +1125,15 @@ class PagedServingEngine:
             pixels = {k: jnp.concatenate([r.pixel_values[k] for r in group],
                                          axis=0)
                       for k in group[0].pixel_values}
+            flat = page_ids.reshape(-1)
+            contig = bool((flat == flat[0] + np.arange(flat.size)).all())
             self.pool = _prefill_into_pool(
                 self.params, self.cfg, self.pool,
                 jnp.asarray(prompt_ids), pixels,
                 jnp.asarray(page_ids), jnp.asarray(slots, np.int32),
                 jnp.asarray([r.max_new_tokens for r in group], np.int32),
                 page_size=self.page_size, n_pages=self.n_pages,
-                attn_impl=self.attn_impl)
+                attn_impl=self.attn_impl, contiguous=contig)
             fused = lead_len + self.cfg.num_patches
             for g, (req, slot) in enumerate(zip(group, slots)):
                 req.slot = slot
