@@ -280,3 +280,21 @@ def test_shared_prefix_corner_configs(setup, page_size, quantized):
         n = min(3, len(ref)) if quantized else len(ref)
         assert done[rid][:n] == ref[:n], (p, done[rid], ref)
     assert sorted(eng.free_pages) == list(range(64))
+
+
+def test_mixed_shared_and_plain_queue(setup):
+    """Plain submissions and shared-prefix groups interleave through the
+    same queue/scheduler; all outputs must match solo runs."""
+    cfg, params, tok, pixels = setup
+    px = pixels(70)
+    eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=40,
+                             page_size=8, max_pages_per_slot=12, burst=4)
+    plain_p = "In: sort the bolts\nOut:"
+    r_plain = eng.submit(plain_p, px, max_new_tokens=5)
+    shared_p = ["In: pick a bowl\nOut:", "In: tip the jug slowly\nOut:"]
+    r_shared = eng.submit_shared(shared_p, px, max_new_tokens=5)
+    done = eng.run_until_complete()
+    for rid, p in [(r_plain, plain_p)] + list(zip(r_shared, shared_p)):
+        ref = _reference_tokens(cfg, params, tok, p, px, 5)
+        assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
+    assert sorted(eng.free_pages) == list(range(40))
