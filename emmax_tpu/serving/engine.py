@@ -60,14 +60,18 @@ def _select_token(logits_f32, key, temperature: float, top_p: float):
         return jnp.argmax(logits_f32, axis=-1)
     logits = logits_f32 / temperature
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        # index-wise scatter (HF semantics): keep exactly the sorted
+        # positions inside the nucleus — a value-threshold re-admits EVERY
+        # token tied at the cutoff logit, overshooting top_p when logits
+        # have duplicates (quantized heads, tiny test configs)
+        idx = jnp.argsort(logits, axis=-1)[..., ::-1]
+        sorted_logits = jnp.take_along_axis(logits, idx, axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # smallest logit still inside the nucleus
-        keep = cum - probs < top_p
-        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
-                         keepdims=True)
-        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+        keep_sorted = cum - probs < top_p          # rank-space nucleus
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(logits.shape[0])[:, None], idx].set(keep_sorted)
+        logits = jnp.where(keep, logits, -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1)
 
 
@@ -103,17 +107,21 @@ class VisionCache:
         self.capacity = capacity
         self.threshold = threshold
         self.pool = pool
-        self.entries = []  # (fingerprint, patches) newest last
+        self.entries = {}  # fp-shape -> [(fingerprint, patches)] newest last
         self.hits = 0
         self.misses = 0
 
     def fingerprint(self, pixel_values) -> np.ndarray:
         fps = []
         for name in sorted(pixel_values):
-            img = np.asarray(pixel_values[name], np.float32)  # [1, H, W, 3]
+            img = np.asarray(pixel_values[name], np.float32)  # [B, H, W, 3]
+            B = img.shape[0]
             h, w = img.shape[1] // self.pool, img.shape[2] // self.pool
             img = img[:, : h * self.pool, : w * self.pool]
-            img = img.reshape(1, h, self.pool, w, self.pool, -1)
+            # keep the batch dim explicit: a hardcoded leading 1 silently
+            # absorbed B>1 into the channel mean — scrambled fingerprints
+            # that could alias across different batches
+            img = img.reshape(B, h, self.pool, w, self.pool, -1)
             fps.append(img.mean(axis=(2, 4)).ravel())
         return np.concatenate(fps)
 
@@ -125,17 +133,22 @@ class VisionCache:
         img = np.asarray(frame, np.float32) / 127.5 - 1.0
         if img.ndim == 3:
             img = img[None]
+        B = img.shape[0]
         h, w = img.shape[1] // self.pool, img.shape[2] // self.pool
         img = img[:, : h * self.pool, : w * self.pool]
-        img = img.reshape(1, h, self.pool, w, self.pool, -1)
+        img = img.reshape(B, h, self.pool, w, self.pool, -1)
         return img.mean(axis=(2, 4)).ravel()
 
+    # host-keyed (frame_key) and device-keyed (pixel) fingerprints have
+    # different shapes and can NEVER match each other; keeping them in one
+    # FIFO let one caller class evict the other's entries (the closed
+    # loop's tail-refresh hit rate silently collapsed when a scoring call
+    # interleaved). Each keying kind gets its own capacity ring.
+    def _ring(self, fp):
+        return self.entries.setdefault(fp.shape, [])
+
     def lookup(self, fp: np.ndarray):
-        for cached_fp, patches in reversed(self.entries):
-            # fingerprints of different shape (host vs device keying, or a
-            # changed camera resolution) can never match
-            if cached_fp.shape != fp.shape:
-                continue
+        for cached_fp, patches in reversed(self._ring(fp)):
             if np.mean(np.abs(cached_fp - fp)) <= self.threshold:
                 self.hits += 1
                 return patches
@@ -143,9 +156,10 @@ class VisionCache:
         return None
 
     def store(self, fp: np.ndarray, patches) -> None:
-        self.entries.append((fp, patches))
-        if len(self.entries) > self.capacity:
-            self.entries.pop(0)
+        ring = self._ring(fp)
+        ring.append((fp, patches))
+        if len(ring) > self.capacity:
+            ring.pop(0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "cache_len", "eos_id",
@@ -240,8 +254,10 @@ class ServingEngine:
         self.quantized_cache = quantized_cache
         self.vision_cache = vision_cache
 
-    def _vision_input(self, pixel_values):
-        """Cross-frame patch reuse (batch-1 only; see VisionCache)."""
+    def _vision_input(self, pixel_values, frame_key=None):
+        """Cross-frame patch reuse (batch-1 only; see VisionCache).
+        ``frame_key``: HOST uint8 frame to fingerprint instead of the
+        device pixels (saves ~30 ms/tower of relay fetches)."""
         if "patches" in pixel_values:
             return pixel_values
         if self.vision_cache is None:
@@ -249,7 +265,9 @@ class ServingEngine:
         lead = next(iter(pixel_values.values())).shape[0]
         if lead != 1:
             return pixel_values
-        fp = self.vision_cache.fingerprint(pixel_values)
+        fp = (self.vision_cache.fingerprint_host(frame_key)
+              if frame_key is not None
+              else self.vision_cache.fingerprint(pixel_values))
         patches = self.vision_cache.lookup(fp)
         if patches is None:
             patches = encode_frame(self.params, self.cfg, pixel_values,
@@ -285,7 +303,8 @@ class ServingEngine:
                      suffix_ids=()) -> np.ndarray:
         """prompts: list[str]; pixel_values: name -> [B, H, W, 3] normalized."""
         ids, mask = self._prepare(prompts, suffix_ids)
-        max_new = max_new_tokens or self.options.max_new_tokens
+        max_new = (self.options.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new)
         self._step = getattr(self, "_step", 0) + 1
         key = jax.random.PRNGKey(self.options.seed + self._step)

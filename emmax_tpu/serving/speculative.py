@@ -55,12 +55,20 @@ from emmax_tpu.serving.engine import ServingEngine, _round_up, resolve_patches
 overwatch = initialize_overwatch(__name__)
 
 
-def _spec_bf16_oom_risk(params, hbm_bytes: float = 16e9) -> bool:
+def _spec_bf16_oom_risk(params, hbm_bytes: Optional[float] = None) -> bool:
     """True when speculative verification would OOM a single chip: raw
     (unquantized) LLM weights whose per-device footprint plus the verifier's
     transposed stacked-qkv copies exceeds HBM. Measured at 7B/bf16: weights
     ~13.5 GB + ~3 GB transposed qkv -> OOM on a 16 GB v5e
-    (docs/BENCHMARKS.md "bf16 single-chip speculative decode OOMs")."""
+    (docs/BENCHMARKS.md "bf16 single-chip speculative decode OOMs").
+    HBM size comes from the device when it reports one (a v5p/v4 with
+    more HBM should NOT be fenced); 16 GB (v5e) is the fallback."""
+    if hbm_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm_bytes = float(stats.get("bytes_limit", 0)) or 16e9
+        except Exception:
+            hbm_bytes = 16e9
     layers = params.get("llm", {}).get("layers", {}) if isinstance(
         params, dict) else {}
     wq = layers.get("wq")
@@ -124,6 +132,12 @@ def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int,
         start = jnp.clip(jbest + n, 0, H - k)
         d = jax.vmap(
             lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,)))(hist, start)
+        # a match ending near hlen may slice past the valid region, where
+        # hist can hold REJECTED verifier targets from the previous chunk's
+        # full-window write (not -1): enforce the contract on the draft so
+        # known-divergent tokens never spend a verifier slot
+        valid = (start[:, None] + jnp.arange(k)[None]) < hlen[:, None]
+        d = jnp.where(valid, d, -1)
         draft = jnp.where((jbest >= 0)[:, None], d, draft)
     return draft
 
@@ -305,6 +319,18 @@ _spec_decode = partial(jax.jit, static_argnames=(
 # Fused one-dispatch runners: on this image's remote-TPU relay every jitted
 # call carrying the 7B param tree costs ~28 ms of dispatch/marshaling
 # (measured with a no-op), so the engine issues ONE device call per frame.
+def _pack_outputs(out, steps, chk):
+    """[tokens | steps | chk] in one int32 array: the engine reads
+    everything in ONE device->host fetch (~30 ms each on the relay), and
+    chk rides along as a real output column so the teacher-forced forwards
+    stay live (an algebraically-dead chk would be DCE'd)."""
+    B = out.shape[0]
+    steps_col = jnp.broadcast_to(steps.astype(jnp.int32), (B,))[:, None]
+    chk_col = jnp.broadcast_to(
+        jnp.round(chk % 1024.0).astype(jnp.int32), (B,))[:, None]
+    return jnp.concatenate([out, steps_col, chk_col], axis=1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cache_len", "max_new", "eos_id",
                                    "attn_impl", "k", "quantized_cache"))
 def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
@@ -317,15 +343,7 @@ def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
-    # pack steps + chk into the token array: every device->host fetch costs
-    # ~30 ms on the relay, so the engine reads everything in ONE transfer;
-    # chk rides along as a real output column so the teacher-forced
-    # forwards stay live (an algebraically-dead chk would be DCE'd)
-    B = out.shape[0]
-    steps_col = jnp.broadcast_to(steps.astype(jnp.int32), (B,))[:, None]
-    chk_col = jnp.broadcast_to(
-        jnp.round(chk % 1024.0).astype(jnp.int32), (B,))[:, None]
-    packed = jnp.concatenate([out, steps_col, chk_col], axis=1)
+    packed = _pack_outputs(out, steps, chk)
     return packed, cache, cur_pos, patches
 
 
@@ -341,11 +359,7 @@ def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, prev_cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
-    B = out.shape[0]
-    steps_col = jnp.broadcast_to(steps.astype(jnp.int32), (B,))[:, None]
-    chk_col = jnp.broadcast_to(
-        jnp.round(chk % 1024.0).astype(jnp.int32), (B,))[:, None]
-    packed = jnp.concatenate([out, steps_col, chk_col], axis=1)
+    packed = _pack_outputs(out, steps, chk)
     return packed, cache, prev_cur_pos
 
 
@@ -441,22 +455,11 @@ class SpeculativeEngine(ServingEngine):
                     "forced_tokens (plain decode has no teacher-forcing): "
                     "quantize the weights, shard them over a mesh, or pass "
                     "force_bf16_spec=True")
-            # the cross-frame vision cache still applies: resolve patches
-            # through it (host frame_key) so the fallback keeps the
-            # ViT-reuse savings rather than re-encoding every frame
-            vc = self.vision_cache
-            if vc is not None and "patches" not in pixel_values:
-                fp = (vc.fingerprint_host(frame_key)
-                      if frame_key is not None
-                      else vc.fingerprint(pixel_values))
-                patches = vc.lookup(fp)
-                if patches is None:
-                    from emmax_tpu.serving.engine import encode_frame
-                    patches = encode_frame(self.params, self.cfg,
-                                           pixel_values,
-                                           attn_impl=self.attn_impl)
-                    vc.store(fp, patches)
-                pixel_values = {"patches": patches}
+            # the cross-frame vision cache still applies (host frame_key
+            # keying, batch-1 guard — all inside _vision_input) so the
+            # fallback keeps the ViT-reuse savings
+            pixel_values = self._vision_input(pixel_values,
+                                              frame_key=frame_key)
             self.last_steps = None
             self.last_prefill = "plain-fallback"
             return super().generate_ids(prompts, pixel_values,
@@ -467,7 +470,8 @@ class SpeculativeEngine(ServingEngine):
         # not the dispatch, is the expensive relay primitive)
         ids_np, mask_np = self._prepare_host(prompts, suffix_ids)
         ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
-        max_new = max_new_tokens or self.options.max_new_tokens
+        max_new = (self.options.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new
                               + self.draft_k + 1)
         self._last_cache_len = cache_len
@@ -487,6 +491,16 @@ class SpeculativeEngine(ServingEngine):
             ctx = np.asarray(draft_context, np.int32)
             if ctx.ndim == 1:
                 ctx = np.tile(ctx[None], (len(prompts), 1))
+            # prior closed-loop outputs arrive EOS-PADDED to max_new; the
+            # padding is not history (lookup would scan hundreds of eos
+            # slots and suffix-match inside the run) — trim to the longest
+            # real row
+            real = ctx != self.options.eos_id
+            if real.any():
+                keep = int(np.max(np.where(real.any(0))[0])) + 1
+                ctx = ctx[:, :keep]
+            else:
+                ctx = ctx[:, :1]
             # prepend the prompt tail so the (prompt end -> first output
             # token) boundary pattern exists inside the context: without it
             # the lookup's suffix n-gram straddling "...Out:" + "R" has no
@@ -504,7 +518,12 @@ class SpeculativeEngine(ServingEngine):
         # charges ~28 ms of dispatch per call carrying the param tree.
         vc = self.vision_cache
         fp = patches = None
-        if (vc is not None and "patches" not in pixel_values
+        if "patches" in pixel_values:
+            # caller-managed patches: identity across frames is the
+            # _prefix_reusable key, so the prefix-KV tail refresh works
+            # without any vision cache
+            patches = pixel_values["patches"]
+        elif (vc is not None
                 and next(iter(pixel_values.values())).shape[0] == 1):
             # prefer the host frame key: device fingerprints cost one ~30 ms
             # relay fetch per tower per frame
