@@ -92,7 +92,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
     ``quantized=True`` stores K/V as int8 with per-(position, head) scales —
     half the cache HBM traffic and capacity (more slots for continuous
-    batching) at ~1e-2 relative attention error.
+    batching) at ~1e-2 relative attention error. NOTE: int8 storage then
+    OVERRIDES ``dtype`` (which only names the unquantized cache dtype).
     """
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
     cache = {
@@ -210,6 +211,15 @@ def llama_forward(
             positions = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1, 0)
         else:
             positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+        if kv_cache is not None:
+            # cached continuation: the L tokens sit at slots [len, len+L),
+            # so default RoPE positions must start at the cursor — without
+            # this offset a cache-path call that omits `positions` applied
+            # RoPE at 0..L-1 and silently produced wrong logits (review
+            # round 3, confirmed numerically)
+            t0_pos = jnp.asarray(kv_cache["len"])
+            positions = positions + (t0_pos[:, None] if t0_pos.ndim > 0
+                                     else t0_pos)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     new_cache = None

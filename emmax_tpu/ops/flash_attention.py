@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -2.3819763e38
+from emmax_tpu.ops.attention import NEG_INF  # one sentinel for both impls
+
 LANES = 128
 
 
@@ -50,7 +51,6 @@ def _fwd_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref,
                 o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, causal: bool, sm_scale: float, bq: int, bk: int,
                 num_kv_blocks: int, save_lse: bool):
-    b = pl.program_id(0)
     i = pl.program_id(2)   # q block
     j = pl.program_id(3)   # kv block
 
@@ -95,6 +95,12 @@ def _fwd_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref,
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
         alpha = jnp.exp(m_prev - m_next)                    # [bq, 128]
         p = jnp.exp(s - m_next[:, :1])                      # [bq, bk]
+        if mask is not None:
+            # exp(NEG_INF - NEG_INF) = 1 on a FULLY-masked row (m saturates
+            # at the finite sentinel), which silently turned such rows into
+            # a v-average; zeroing p keeps l at 0 so the l==0 store guard
+            # outputs exact zeros (pad query rows)
+            p = jnp.where(mask, p, 0.0)
         l_next = alpha * l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
         m_scr[...] = m_next
@@ -191,7 +197,6 @@ def _flash_fwd(q, k, v, kv_mask, q_offset, causal: bool, sm_scale: float,
 def _dq_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                di_ref, dq_ref, dq_scr, *, causal, sm_scale, bq, bk,
                num_kv_blocks):
-    b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -223,6 +228,8 @@ def _dq_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             s = jnp.where(mask, s, NEG_INF)
         lse = lse_ref[0, 0][:, :1]                     # [bq, 1]
         p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)    # fully-masked rows: lse == s
         do = do_ref[0, 0].astype(jnp.float32)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
@@ -240,7 +247,6 @@ def _dq_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                 di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal, sm_scale,
                 bq, bk, num_q_blocks):
-    b = pl.program_id(0)
     j = pl.program_id(2)   # kv block (outer)
     i = pl.program_id(3)   # q block (inner)
 
@@ -274,6 +280,8 @@ def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             s = jnp.where(mask, s, NEG_INF)
         lse = lse_ref[0, 0][:, :1]
         p = jnp.exp(s - lse)                               # [bq, bk]
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)    # fully-masked rows: lse == s
         do = do_ref[0, 0].astype(jnp.float32)              # [bq, D]
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
@@ -307,11 +315,9 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
         if order == "dq":
             qm = lambda b, h, i, j, *_: (b, h, i, 0)
             km = lambda b, h, i, j, *_: (b, h, j, 0)
-            mm = lambda b, h, i, j, *_: (b, j)
         else:
             qm = lambda b, h, j, i, *_: (b, h, i, 0)
             km = lambda b, h, j, i, *_: (b, h, j, 0)
-            mm = lambda b, h, j, i, *_: (b, j)
         specs = [
             pl.BlockSpec((1, 1, bq, D), qm),               # q
             pl.BlockSpec((1, 1, bk, D), km),               # k
@@ -320,7 +326,7 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
             pl.BlockSpec((1, 1, bq, LANES), qm),           # lse
             pl.BlockSpec((1, 1, bq, LANES), qm),           # di
         ]
-        return specs, mm
+        return specs
 
     # --- dQ ---
     def dq_kernel(q_off_ref, *refs):
@@ -333,7 +339,7 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
                    dq_s, causal=causal, sm_scale=sm_scale, bq=bq, bk=bk,
                    num_kv_blocks=S // bk)
 
-    in_specs, mm = build_specs("dq")
+    in_specs = build_specs("dq")
     dq_args = [q, k, v, do, lse_b, di_b]
     if kv_mask is not None:
         in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
@@ -367,7 +373,7 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
                     dk_r, dv_r, dk_s, dv_s, causal=causal, sm_scale=sm_scale,
                     bq=bq, bk=bk, num_q_blocks=Lq // bq)
 
-    in_specs, mm = build_specs("dkv")
+    in_specs = build_specs("dkv")
     dkv_args = [q, k, v, do, lse_b, di_b]
     if kv_mask is not None:
         in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
@@ -467,13 +473,16 @@ def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     vt = jnp.moveaxis(v, 1, 2)
     if Lq_p != Lq:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Lq_p - Lq), (0, 0)))
-    if S_p != S or kv_mask is None:
+    if S_p != S:
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, S_p - S), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, S_p - S), (0, 0)))
         base = (kv_mask if kv_mask is not None
                 else jnp.ones((B, S), jnp.bool_))
         kv_mask = jnp.pad(base, ((0, 0), (0, S_p - S)))
-    kv_mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]
+    # aligned + maskless calls keep kv_mask=None so the kernels' no-mask
+    # fast paths actually run (a ones mask cost DMA + compares per tile)
+    kv_mask_i32 = (kv_mask.astype(jnp.int32)[:, None, :]
+                   if kv_mask is not None else None)
 
     o = _flash(qt, kt, vt, kv_mask_i32, jnp.asarray(q_offset, jnp.int32),
                causal, sm_scale, bq, bk, bq_bwd, bk_bwd)

@@ -78,9 +78,9 @@ def _bn_for(M: int, F: int) -> int:
 
 
 def _resolve_group(D: int, group: int) -> int:
+    assert D % 2 == 0, f"D={D} not even (cannot split nibble planes)"
     while D % (2 * group) != 0:
         group //= 2
-    assert group >= 1, f"D={D} not even"
     return group
 
 
