@@ -119,29 +119,49 @@ class EmmaXVLA:
         arr = jnp.asarray(np.stack([_as_uint8_array(im) for im in images]))
         return preprocess_for_towers(arr, self.transforms)
 
+    def _decode_row(self, row) -> str:
+        """EOS-trim + detokenize one output row (shared by every
+        single-frame path so stop handling cannot fork)."""
+        row = list(row)
+        eos = self.engine.options.eos_id
+        if eos in row:
+            row = row[:row.index(eos)]
+        return self.tokenizer.decode(row).strip()
+
     # -- generation ------------------------------------------------------------
     def generate(self, image, prompt_text: str,
                  max_new_tokens: int = 512) -> str:
-        """Free-form text generation for one frame (reference
-        ``prismatic.py:597-625``). In closed-loop speculative mode the raw
+        """Free-form text generation for ONE frame (reference
+        ``prismatic.py:597-625``; batched use goes through
+        ``generate_batch``). In closed-loop speculative mode the raw
         frame keys the vision cache and the previous frame's output seeds
         cross-frame drafts (greedy output is exact at the default
         vision_cache_threshold=0.0; a positive threshold may reuse patch
         embeddings from a near-identical earlier frame)."""
+        if isinstance(image, (list, tuple)) and len(image) != 1:
+            raise ValueError("generate/generate_actions/predict_action take "
+                             "ONE frame (the reference facade contract, "
+                             "prismatic.py:628-664); use generate_batch for "
+                             "multiple frames")
+        frame = _as_uint8_array(image[0] if isinstance(image, (list, tuple))
+                                else image)
         if self._closed_loop:
-            frame = _as_uint8_array(image)
             out = self.engine.generate_ids(
                 [prompt_text], self._pixels(image),
                 max_new_tokens=max_new_tokens,
                 draft_context=self._last_output_ids, frame_key=frame)
             self._last_output_ids = out[0]
-            row = list(out[0])
-            eos = self.engine.options.eos_id
-            if eos in row:
-                row = row[:row.index(eos)]
-            return self.tokenizer.decode(row).strip()
-        return self.engine.generate([prompt_text], self._pixels(image),
-                                    max_new_tokens=max_new_tokens)[0]
+            return self._decode_row(out[0])
+        out = self.engine.generate_ids([prompt_text], self._pixels(image),
+                                       max_new_tokens=max_new_tokens,
+                                       **self._frame_kw(frame))
+        return self._decode_row(out[0])
+
+    def _frame_kw(self, frame) -> dict:
+        """Host frame keying for the vision cache (both engines accept
+        frame_key; device fingerprints cost ~30 ms/tower of relay
+        fetches)."""
+        return {"frame_key": frame}
 
     def generate_batch(self, images, prompt_texts: List[str],
                        max_new_tokens: int = 512,
@@ -199,7 +219,8 @@ class EmmaXVLA:
         # training-time token alignment (openvla.py:60-65)
         out = self.engine.generate_ids(
             [prompt], self._pixels(image), max_new_tokens=self.action_dim,
-            suffix_ids=(self.tokenizer.empty_token_id,))
+            suffix_ids=(self.tokenizer.empty_token_id,),
+            **self._frame_kw(_as_uint8_array(image)))
         ids = out[0][:self.action_dim]
         norm_actions = self.action_tokenizer.decode_token_ids_to_actions(
             np.asarray(ids))

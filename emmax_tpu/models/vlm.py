@@ -122,6 +122,10 @@ def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
     F = L + P
     # first valid index per row (0 when unpadded / right-padded)
     p = jnp.argmax(mask, axis=-1).astype(jnp.int32)          # [B]
+    # an ALL-padding row has no BOS: without this its P patch slots would
+    # read as valid (argmax=0) and prefill live cache slots for a row that
+    # contains nothing
+    row_live = jnp.any(mask, axis=-1, keepdims=True)         # [B, 1]
     j = jnp.arange(F, dtype=jnp.int32)[None, :]              # [1, F]
     pe = p[:, None]
     if multimodal_mask is None:
@@ -141,7 +145,7 @@ def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
     embeds = jnp.where((is_patch & ~mm)[..., None],
                        jnp.zeros((), embeds.dtype), embeds)
     fused_mask = jnp.where(
-        is_patch, mm,
+        is_patch, mm & row_live,
         jnp.take_along_axis(mask, jnp.clip(src_text, 0, L - 1), axis=1))
     fused_labels = None
     if labels is not None:

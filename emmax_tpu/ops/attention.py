@@ -22,7 +22,7 @@ def _repeat_kv(k, n_rep: int):
     return k if n_rep == 1 else jnp.repeat(k, n_rep, axis=2)
 
 
-def _dense_mask(B: int, q_len: int, kv_len: int, kv_mask, causal: bool,
+def _dense_mask(q_len: int, kv_len: int, kv_mask, causal: bool,
                 q_offset):
     """[B or 1, 1, q_len, kv_len] bool (True = attend).
 
@@ -53,7 +53,7 @@ def xla_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    mask = _dense_mask(q.shape[0], q.shape[1], k.shape[1], kv_mask, causal,
+    mask = _dense_mask(q.shape[1], k.shape[1], kv_mask, causal,
                        q_offset)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)

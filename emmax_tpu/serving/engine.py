@@ -300,8 +300,10 @@ class ServingEngine:
 
     def generate_ids(self, prompts, pixel_values: Dict[str, jax.Array],
                      max_new_tokens: Optional[int] = None,
-                     suffix_ids=()) -> np.ndarray:
-        """prompts: list[str]; pixel_values: name -> [B, H, W, 3] normalized."""
+                     suffix_ids=(), frame_key=None) -> np.ndarray:
+        """prompts: list[str]; pixel_values: name -> [B, H, W, 3] normalized.
+        ``frame_key``: optional HOST uint8 frame to key the vision cache
+        (device fingerprints cost ~30 ms/tower of relay fetches)."""
         ids, mask = self._prepare(prompts, suffix_ids)
         max_new = (self.options.max_new_tokens if max_new_tokens is None
                    else max_new_tokens)
@@ -309,7 +311,8 @@ class ServingEngine:
         self._step = getattr(self, "_step", 0) + 1
         key = jax.random.PRNGKey(self.options.seed + self._step)
         out = _generate_multimodal(
-            self.params, self.cfg, ids, mask, self._vision_input(pixel_values),
+            self.params, self.cfg, ids, mask,
+            self._vision_input(pixel_values, frame_key=frame_key),
             key,
             max_new=max_new, cache_len=cache_len,
             eos_id=self.options.eos_id, attn_impl=self.attn_impl,

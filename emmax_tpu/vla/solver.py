@@ -95,11 +95,18 @@ class Solver:
 
         Tokenized-normalized movements (no "gripper" word) require Q1/Q99
         un-normalization downstream; textual movements are already absolute.
+        On failure the flag reports how far parsing got — None (key
+        missing), True (tokenized branch entered), False (textual branch
+        entered) — exactly the reference's tri-state (``solver.py:42-58``
+        sets ``require_unorm`` before the fallible parse, so callers can
+        distinguish a malformed tokenized movement from a missing key).
         """
+        require_unnorm = None
         try:
             after = text[text.index(MOVEMENT_KEY) + len(MOVEMENT_KEY):]
             line = _first_nonempty_line(after)
             if "gripper" not in line:
+                require_unnorm = True
                 ids = self.action_tokenizer.tokenizer.encode(
                     line, add_special_tokens=False)
                 vals = self.action_tokenizer.decode_token_ids_to_actions(
@@ -107,6 +114,7 @@ class Solver:
                 assert len(vals) == 7
                 return True, np.asarray(vals)
             # textual grammar
+            require_unnorm = False
             acc = {a: 0.0 for a in _AXES}
             for clause in [c for c in line.split(";") if c][:7]:
                 words = clause.split()
@@ -120,7 +128,7 @@ class Solver:
                 acc[axis] += sign * scale * level
             return False, np.array([acc[a] for a in _AXES])
         except Exception:
-            return None, np.array([-100.0] * 7)
+            return require_unnorm, np.array([-100.0] * 7)
 
     def extract_action_policies(self, text: str) -> Tuple[List[List[float]], str]:
         """Parse ``POLICIES:`` into a list of 7-vectors in [-1, 1].
