@@ -135,12 +135,13 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
     Non-divisible resolutions are cropped top-left (valid-conv semantics).
     """
     B, H, W, C = images.shape
-    g = H // patch
+    gh, gw = H // patch, W // patch       # per-axis grids: a single H-based
+    # grid silently cropped (or crashed on) non-square inputs
     if H % patch or W % patch:
-        images = images[:, :g * patch, :g * patch, :]
-    x = images.reshape(B, g, patch, g, patch, C)
+        images = images[:, :gh * patch, :gw * patch, :]
+    x = images.reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, g * g, patch * patch * C)
+    return x.reshape(B, gh * gw, patch * patch * C)
 
 
 def _embed(params: Params, cfg: ViTConfig, images: jax.Array) -> jax.Array:
@@ -155,7 +156,11 @@ def _embed(params: Params, cfg: ViTConfig, images: jax.Array) -> jax.Array:
     if cfg.num_reg_tokens:
         reg = jnp.broadcast_to(params["reg_tokens"],
                                (B, cfg.num_reg_tokens, cfg.dim)).astype(x.dtype)
-        x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+        # registers follow the class token (timm: [cls, reg..., patches]);
+        # without a class token they lead — splicing after x[:, :1] would
+        # bury patch 0 inside the prefix that strip_prefix removes
+        n_lead = 1 if cfg.class_token else 0
+        x = jnp.concatenate([x[:, :n_lead], reg, x[:, n_lead:]], axis=1)
     if cfg.pre_norm:
         x = layer_norm(x, params["pre_norm"]["scale"], params["pre_norm"]["bias"],
                        cfg.norm_eps)

@@ -135,14 +135,19 @@ def batch_sharding(mesh: Mesh, ndim: int = 2,
     Falls back to replication when the batch doesn't divide the data axes
     (e.g. tiny smoke batches)."""
     dp = mesh.shape["replica"] * mesh.shape["fsdp"]
+    if ndim == 0:                      # scalar leaf: replicate
+        return NamedSharding(mesh, P())
     if batch_dim_size is not None and batch_dim_size % dp != 0:
         return NamedSharding(mesh, P(*([None] * ndim)))
     return NamedSharding(mesh, P(("replica", "fsdp"), *([None] * (ndim - 1))))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(
-            a, batch_sharding(mesh, getattr(a, "ndim", 1),
-                              a.shape[0] if getattr(a, "ndim", 0) else None)),
+    # ONE batched device_put for the whole tree: per-leaf puts cost one
+    # relay dispatch each (~28 ms on the remote-TPU relay), every step
+    shardings = jax.tree_util.tree_map(
+        lambda a: batch_sharding(mesh, getattr(a, "ndim", 1),
+                                 a.shape[0] if getattr(a, "ndim", 0)
+                                 else None),
         batch)
+    return jax.device_put(batch, shardings)

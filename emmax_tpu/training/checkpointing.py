@@ -23,7 +23,9 @@ from emmax_tpu.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch(__name__)
 
-_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=([0-9.]+)$")
+# loss may legitimately print as nan/inf (diverged run hitting a save
+# boundary) — the name must still list/parse/GC
+_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=([0-9.]+|nan|inf)$")
 
 
 class CheckpointManager:
@@ -43,6 +45,12 @@ class CheckpointManager:
     def save(self, state: Any, *, step: int, epoch: int, loss: float) -> Path:
         name = f"step-{step:06d}-epoch-{epoch:02d}-loss={loss:.4f}"
         path = self.ckpt_dir / name
+        if path.exists():
+            # a periodic save and a max_steps/epoch-end save can land on the
+            # same step (same name) — Orbax raises on an existing directory,
+            # which crashed training at the finish line; idempotent skip
+            overwatch.info(f"checkpoint {name} already exists; skipping")
+            return path
         if isinstance(self._ckptr, self._ocp.StandardCheckpointer):
             self._ckptr.save(path, state)
         else:

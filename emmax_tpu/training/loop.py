@@ -81,6 +81,10 @@ def teacher_forced_texts(preds: np.ndarray, labels: np.ndarray,
         fused_labels = np.concatenate(
             [labels[b, :1], np.full(num_patches, IGNORE_INDEX), labels[b, 1:]])
         idx = np.nonzero(fused_labels != IGNORE_INDEX)[0]
+        # label at fused position i is predicted at i-1; a supervised
+        # position 0 has no predictor (idx-1 would WRAP to the last
+        # position) — drop it rather than pair it with garbage
+        idx = idx[idx > 0]
         gt_texts.append(tokenizer.decode(fused_labels[idx].tolist()))
         pred_texts.append(tokenizer.decode(preds[b, idx - 1].tolist()))
     return gt_texts, pred_texts
@@ -123,6 +127,8 @@ def run_discrete_vla_training(
                 device_batch = shard_batch(device_batch, mesh)
             state, m = train_step(state, device_batch)
             step += 1
+            m = jax.device_get(m)   # ONE fetch (4 scalar floats cost 4
+            #                         ~30 ms relay round-trips otherwise)
             final_loss = float(m["loss"])
             metrics.commit(loss=final_loss,
                            action_accuracy=float(m.get("action_accuracy", 0)),
@@ -234,6 +240,7 @@ def run_training(*, vlm_cfg: VLMConfig, state, train_step: Callable,
                 device_batch = shard_batch(device_batch, mesh)
             state, m = train_step(state, device_batch)
             step += 1
+            m = jax.device_get(m)   # one fetch, not one per scalar
             final_loss = float(m["loss"])
             metrics.commit(loss=final_loss,
                            grad_norm=float(m.get("grad_norm", 0)))
@@ -288,6 +295,7 @@ def run_vla_training(*, vlm_cfg: VLMConfig, state, train_step: Callable,
             device_batch = shard_batch(device_batch, mesh)
         state, m = train_step(state, device_batch)
         step += 1
+        m = jax.device_get(m)       # one fetch, not one per scalar
         final_loss = float(m["loss"])
         metrics.commit(loss=final_loss,
                        action_accuracy=float(m.get("action_accuracy", 0)),
