@@ -109,10 +109,6 @@ def _parse_episode(serialized):
             "image_primary": tf.sparse.to_dense(ex["steps/image_primary"]),
             "proprio": tf.reshape(tf.sparse.to_dense(ex["steps/proprio"]),
                                   (T, ex["proprio_dim"])),
-            # step index within the episode (reference `restructure` adds
-            # observation["timestep"]; the goal-relabel/chunk machinery
-            # keys off it — dataset.py:397-408, traj_transforms.py:41-46)
-            "timestep": tf.range(T, dtype=tf.int32),
         },
         "action": tf.reshape(tf.sparse.to_dense(ex["steps/action"]),
                              (T, ex["action_dim"])),
@@ -139,7 +135,10 @@ def _tf_binarize_gripper(actions):
 
 def bridge_orig_standardize(traj: Dict) -> Dict:
     """``bridge_orig_dataset_transform`` (oxe/transforms.py:61-86): drop the
-    all-zero first step, binarize gripper dim, split EEF/gripper state."""
+    all-zero first step, binarize gripper dim, RELABEL movement actions to
+    reached-state deltas dropping the final (action-less) step
+    (``relabel_bridge_actions``, data_utils.py:166-172), split EEF/gripper
+    state."""
     traj = {k: (tf.nest.map_structure(lambda x: x[1:], v)
                 if k in ("observation",) else
                 (v[1:] if k not in ("task",) else v))
@@ -147,6 +146,14 @@ def bridge_orig_standardize(traj: Dict) -> Dict:
     traj["action"] = tf.concat(
         [traj["action"][:, :6],
          _tf_binarize_gripper(traj["action"][:, -1])[:, None]], axis=1)
+    # reached-state relabel: xyz+rpy become proprio deltas
+    move = (traj["observation"]["proprio"][1:, :6]
+            - traj["observation"]["proprio"][:-1, :6])
+    grip = traj["action"][:-1, -1:]
+    task = traj.pop("task")
+    traj = tf.nest.map_structure(lambda x: x[:-1], traj)
+    traj["task"] = task
+    traj["action"] = tf.concat([move, grip], axis=1)
     traj["observation"]["EEF_state"] = traj["observation"]["proprio"][:, :6]
     traj["observation"]["gripper_state"] = traj["observation"]["proprio"][:, -1:]
     return traj
@@ -205,10 +212,31 @@ def make_dataset_from_rlds(
     if standardize_fn is not None:
         ds = ds.map(standardize_fn, num_parallel_calls=tf.data.AUTOTUNE)
 
+    def _post(traj):
+        # reference `restructure` order: timestep AFTER standardization
+        # (dataset.py:350-408) — adding it at parse time made it 1-based on
+        # datasets that drop their first step (goal clamp off by one) —
+        # plus per-frame dataset provenance for interleaved mixtures
+        T = tf.shape(traj["action"])[0]
+        traj["observation"]["timestep"] = tf.range(T, dtype=tf.int32)
+        traj["dataset_name"] = tf.fill((T,), name)
+        return traj
+
+    ds = ds.map(_post, num_parallel_calls=tf.data.AUTOTUNE)
+
     if dataset_statistics is None:
         def compute():
+            # statistics over ALL splits (reference uses split="all",
+            # dataset.py:210-213) so train and val normalize identically
+            all_files = sorted(Path(data_dir).glob(f"{name}-*.tfrecord*"))
+            sds = tf.data.TFRecordDataset([str(f) for f in all_files])
+            sds = sds.map(_parse_episode,
+                          num_parallel_calls=tf.data.AUTOTUNE)
+            if standardize_fn is not None:
+                sds = sds.map(standardize_fn,
+                              num_parallel_calls=tf.data.AUTOTUNE)
             actions, proprios = [], []
-            for traj in ds.as_numpy_iterator():
+            for traj in sds.as_numpy_iterator():
                 actions.append(traj["action"])
                 proprios.append(traj["observation"]["proprio"])
             stats = {"action": compute_statistics(actions),
@@ -220,7 +248,7 @@ def make_dataset_from_rlds(
 
         if cache_dir is not None:
             dataset_statistics = cached_statistics(
-                cache_dir, [str(data_dir), name, split], compute)
+                cache_dir, [str(data_dir), name, "all"], compute)
         else:
             dataset_statistics = compute()
 
@@ -249,6 +277,13 @@ def make_dataset_from_rlds(
 
     if normalization_type is not None:
         ds = ds.map(normalize, num_parallel_calls=tf.data.AUTOTUNE)
+    if not keep_metadata:
+        def drop_meta(traj):
+            traj = dict(traj)
+            traj.pop("file_path", None)
+            traj.pop("episode_id", None)
+            return traj
+        ds = ds.map(drop_meta, num_parallel_calls=tf.data.AUTOTUNE)
     return ds, dataset_statistics
 
 
@@ -384,7 +419,12 @@ def apply_frame_transforms(ds, *, resize: Optional[Tuple[int, int]] = None,
         else:
             imgs = dec_one(img)
         if resize is not None:
-            imgs = tf.cast(tf.image.resize(imgs, resize, method="lanczos3"),
+            # dlimp parity (obs_transforms.py:75): antialias on, round and
+            # clip BEFORE the uint8 cast — lanczos3 overshoots near edges
+            # and a raw cast wraps (black specks) and truncates (bias)
+            imgs = tf.image.resize(imgs, resize, method="lanczos3",
+                                   antialias=True)
+            imgs = tf.cast(tf.clip_by_value(tf.round(imgs), 0.0, 255.0),
                            tf.uint8)
         frame["observation"]["image_primary"] = imgs
         return frame
@@ -516,11 +556,15 @@ def _tf_rel2abs_gripper(actions):
     def scan_fn(carry, d):
         return tf.cond(tf.equal(d, 0.0), lambda: carry, lambda: d)
 
-    # back-fill leading no-ops with the first command (default open)
+    # back-fill leading no-ops with the INVERSE of the first command (a
+    # close command implies the gripper was open before it — reference
+    # data_utils.py:155-161 and the numpy mirror in normalization.py);
+    # default open when the trajectory never commands the gripper
     first = tf.scan(scan_fn, tf.reverse(delta, [0]),
-                    initializer=tf.constant(1.0))
-    first_cmd = tf.reverse(first, [0])
-    carried = tf.scan(scan_fn, delta, initializer=first_cmd[0])
+                    initializer=tf.constant(0.0))
+    first_cmd = tf.reverse(first, [0])[0]
+    init = tf.where(tf.equal(first_cmd, 0.0), 1.0, -first_cmd)
+    carried = tf.scan(scan_fn, delta, initializer=init)
     return tf.where(carried > 0, tf.ones_like(carried),
                     tf.zeros_like(carried))
 

@@ -70,6 +70,7 @@ class RLDSIterableDataset:
                  resize_resolution: Optional[Tuple[int, int]] = None,
                  shuffle_buffer_size: int = 10_000, train: bool = True,
                  image_aug: bool = False,
+                 num_shards: int = 1, shard_index: int = 0,
                  goal_relabeling_strategy: Optional[str] = None,
                  task_augment_strategy: Optional[str] = None,
                  task_augment_kwargs: Optional[Dict] = None,
@@ -102,6 +103,11 @@ class RLDSIterableDataset:
                 task_augment_strategy=task_augment_strategy,
                 task_augment_kwargs=task_augment_kwargs)
             ds = flatten_trajectories(ds)
+            if num_shards > 1:
+                # shard BEFORE the expensive frame transforms so each host
+                # decodes/resizes/augments only its own 1/N of the frames
+                # (post-pipeline skipping paid N x the input-pipeline CPU)
+                ds = ds.shard(num_shards, shard_index)
             ds = apply_frame_transforms(ds, resize=resize_resolution,
                                         train=train,
                                         image_augment_kwargs=aug_kwargs)
@@ -116,12 +122,23 @@ class RLDSIterableDataset:
 
     def __iter__(self) -> Iterator[Dict]:
         for frame in self._ds.as_numpy_iterator():
-            yield self.batch_transform(frame, dataset_name=self._names[0])
+            # per-frame provenance survives interleaving (rlds.py tags
+            # every trajectory; stamping the FIRST mixture name on all
+            # frames misattributed per-dataset metrics)
+            name = frame.get("dataset_name", self._names[0])
+            if isinstance(name, bytes):
+                name = name.decode()
+            yield self.batch_transform(frame, dataset_name=name)
 
 
 class StreamingBatcher:
-    """Collate a streaming sample iterator into fixed-size batches
-    (per-host sharding by skipping: host i takes every Nth sample)."""
+    """Collate a streaming sample iterator into fixed-size batches.
+
+    Per-host sharding here skips AFTER the producing pipeline — fine for
+    cheap iterators, but for RLDS streams prefer
+    ``RLDSIterableDataset(num_shards=..., shard_index=...)``, which shards
+    inside tf.data BEFORE decode/resize/augment (skipping afterwards pays
+    N× the input-pipeline CPU per host)."""
 
     def __init__(self, dataset, batch_size: int, collate_fn, *,
                  num_shards: int = 1, shard_index: int = 0) -> None:

@@ -115,6 +115,17 @@ def _closure() -> List[str]:
                       else node.names[0].name)
             if target in seen:
                 visit(target)
+            elif target in _SKIP:
+                # `from emmax_tpu.conf import X` through a re-export shim:
+                # the ordering edge must reach the DEFINING submodules,
+                # exactly like the closure stage — without this, bundle
+                # order fell back to alphabetical luck and a consumer
+                # sorting before its definition would NameError at import
+                init_tree = ast.parse(_mod_path(target).read_text())
+                for sub in _intra_imports(init_tree, top_level_only=True):
+                    if (isinstance(sub, ast.ImportFrom) and sub.module
+                            and sub.module in seen):
+                        visit(sub.module)
         marked[mod] = 2
         order.append(mod)
 

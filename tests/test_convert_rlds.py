@@ -102,7 +102,8 @@ def test_convert_full_with_stats_sidecar(tmp_path, monkeypatch):
     stats = json.loads((tmp_path / "dataset_statistics.json").read_text())
     for field in ("q01", "q99", "mean", "std", "min", "max"):
         assert len(stats["action"][field]) == 7
-    assert stats["num_trajectories"] == 3
+    # stats span ALL splits (3 train + 1 val; reference split="all")
+    assert stats["num_trajectories"] == 4
     # val shard readable too
     ds, _ = make_dataset_from_rlds(tmp_path, "synthetic", "val",
                                    dataset_statistics=stats)
@@ -174,4 +175,5 @@ def test_tfds_branch_with_fake_builder(tmp_path, monkeypatch):
     img = tf.io.decode_image(trajs[0]["observation"]["image_primary"][0],
                              expand_animations=False).numpy()
     assert img.shape == (8, 8, 3)
-    assert stats["num_trajectories"] == 3
+    # stats span ALL splits (3 train + 1 val; reference split="all")
+    assert stats["num_trajectories"] == 4

@@ -46,7 +46,9 @@ def data_dir(tmp_path_factory):
 
 def test_make_dataset_and_statistics(data_dir):
     ds, stats = make_dataset_from_rlds(data_dir, "bridge_orig", "train")
-    assert stats["num_trajectories"] == 4
+    # statistics span ALL splits (train 4 + val 2; reference uses
+    # split="all", dataset.py:210-213, so train/val normalize the same)
+    assert stats["num_trajectories"] == 6
     assert len(stats["action"]["q01"]) == 7
     assert stats["action"]["mask"] == [True] * 6 + [False]
     traj = next(iter(ds.as_numpy_iterator()))
@@ -145,9 +147,10 @@ def test_rt1_and_taco_standardize(data_dir):
     }
     out = rt1_style_standardize(dict(traj))
     grip = out["action"][:, -1].numpy()
-    # rel→abs: leading no-op back-filled from first command (close→0),
-    # then stays until the next command
-    np.testing.assert_array_equal(grip, [0, 0, 0, 1, 1, 0])
+    # rel→abs: leading no-op back-filled with the INVERSE of the first
+    # command (a close command implies the gripper was OPEN before it —
+    # reference data_utils.py:155-161), then the last command carries
+    np.testing.assert_array_equal(grip, [1, 0, 0, 1, 1, 0])
     assert out["observation"]["EEF_state"].shape == (T, 6)
 
     traj2 = {
@@ -160,3 +163,24 @@ def test_rt1_and_taco_standardize(data_dir):
     out2 = taco_play_style_standardize(dict(traj2))
     g2 = out2["action"][:, -1].numpy()
     assert g2.min() >= 0.0 and g2.max() <= 1.0
+
+
+
+def test_tf_rel2abs_matches_numpy():
+    """The TF and numpy rel->abs gripper transforms must agree on every
+    leading-no-op / first-command combination (the TF backfill silently
+    used the first command itself instead of its inverse until round 3)."""
+    from emmax_tpu.data.normalization import rel2abs_gripper_actions
+    from emmax_tpu.data.rlds import _tf_rel2abs_gripper
+
+    cases = [
+        [0.0, 1.0, 0.0, -1.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0, 0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [-1.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],   # no command at all -> open
+    ]
+    for case in cases:
+        want = rel2abs_gripper_actions(np.asarray(case))
+        got = _tf_rel2abs_gripper(tf.constant(case, tf.float32)).numpy()
+        np.testing.assert_array_equal(got, want, err_msg=str(case))
