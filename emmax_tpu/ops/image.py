@@ -62,25 +62,30 @@ def apply_transform(img: jax.Array, cfg: ImageTransformConfig) -> jax.Array:
     if cfg.resize_strategy == "resize-naive":
         img = _resize(img, s, s, cfg.interpolation)
     elif cfg.resize_strategy == "resize-crop":
-        # torchvision semantics: resize shortest side to `size`, center crop
+        # torchvision semantics: Resize TRUNCATES the long side
+        # (int(size*long/short), not round) and CenterCrop offsets with
+        # int(round(diff/2)) — both differ by one pixel on odd remainders
         if H < W:
-            nh, nw = s, max(int(round(W * s / H)), s)
+            nh, nw = s, max(int(W * s / H), s)
         else:
-            nh, nw = max(int(round(H * s / W)), s), s
+            nh, nw = max(int(H * s / W), s), s
         img = _resize(img, nh, nw, cfg.interpolation)
-        top, left = (nh - s) // 2, (nw - s) // 2
+        top, left = int(round((nh - s) / 2)), int(round((nw - s) / 2))
         img = img[..., top:top + s, left:left + s, :]
     elif cfg.resize_strategy == "letterbox":
-        # pad to square with the (rescaled) mean fill, then resize
-        # (base_vision.py:41-50 LetterboxPad)
-        side = max(H, W)
-        ph, pw = (side - H) // 2, (side - W) // 2
-        fill = jnp.asarray(cfg.mean, jnp.float32)
+        # reference LetterboxPad (base_vision.py:41-50): SYMMETRIC border
+        # of int(diff/2) on each side (an odd difference stays one pixel
+        # off square, exactly like torchvision pad), fill = the uint8-
+        # quantized mean int(m*255)/255 (the reference fills in uint8
+        # space before ToTensor)
+        ph = int((max(H, W) - H) / 2)
+        pw = int((max(H, W) - W) / 2)
+        fill = [int(float(m) * 255) / 255.0 for m in cfg.mean]
         pad_width = [(0, 0)] * (img.ndim - 3) + [
-            (ph, side - H - ph), (pw, side - W - pw), (0, 0)]
+            (ph, ph), (pw, pw), (0, 0)]
         img = jnp.stack([
             jnp.pad(img[..., c], [p[:2] for p in pad_width[:-1]],
-                    constant_values=float(fill[c]))
+                    constant_values=fill[c])
             for c in range(3)], axis=-1)
         img = _resize(img, s, s, cfg.interpolation)
     else:

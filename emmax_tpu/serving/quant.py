@@ -63,6 +63,8 @@ def _quantize_lm_head(lm_head, quant_fn):
 
 def quantize_vlm_params(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     """VLM tree with the LLM subtree quantized (jnp; see *_np for host-side)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     out = dict(params)
     if bits == 4:
         from emmax_tpu.ops.int4_matmul import quantize_weight_int4

@@ -35,6 +35,16 @@ class ActionTokenizer:
         self.bin_centers = (self.bins[:-1] + self.bins[1:]) / 2.0
         # Contract: action tokens overwrite the final `n_bins` base-vocab ids.
         self.action_token_begin_idx: int = int(tokenizer.vocab_size - (self.n_bins + 1))
+        # the action region must not collide with the tokenizer's byte/
+        # special ids — on tiny test vocabs the top bins would otherwise
+        # silently decode as raw bytes and break the decode->encode
+        # round trip (contract 3 in vla/tokenizer.py)
+        floor = getattr(tokenizer, "_action_lo", None)
+        if floor is not None and tokenizer.vocab_size - self.n_bins < floor:
+            raise ValueError(
+                f"vocab_size={tokenizer.vocab_size} cannot host {bins} "
+                f"action bins above the byte region (needs vocab_size >= "
+                f"{floor + self.n_bins}); use a larger vocab or fewer bins")
 
     # -- continuous -> token ids ----------------------------------------------
     def encode_to_ids(self, action: np.ndarray) -> np.ndarray:

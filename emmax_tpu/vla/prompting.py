@@ -108,8 +108,16 @@ class PromptBuilder:
     def get_potential_prompt(self, message: str) -> str:
         saved_prompt, saved_count = self.prompt, self.turn_count
         try:
+            was_first = self.turn_count == 0
             self.add_turn("human", message)
-            return self.get_prompt()
+            pot = self.get_prompt()
+            if was_first and self.style.prepend_bos \
+                    and not self.style.strip_bos:
+                # the reference's get_potential_prompt appends ONLY the
+                # wrapped human turn — never the turn-0 BOS that add_turn
+                # inserts (phi_prompter.py:55-62)
+                pot = pot.removeprefix(self.style.bos)
+            return pot
         finally:
             self.prompt, self.turn_count = saved_prompt, saved_count
 

@@ -153,7 +153,12 @@ class ByteLevelTokenizer:
                                 self.unk_id: "<unk>", self.pad_id: "<PAD>"}[tid])
                 continue
             if tid == self.empty_token_id:
-                # "▁" word-boundary renders as nothing at start / space inside
+                # "▁": SentencePiece renders the word boundary as NOTHING at
+                # the very start and as a SPACE mid-sequence — dropping it
+                # everywhere silently glued separately-encoded segments
+                # together ("a"+"b" -> "ab" instead of "a b")
+                if out or buf:
+                    buf.append(ord(" "))
                 continue
             ach = self._action_id_to_char(tid)
             if ach is not None:

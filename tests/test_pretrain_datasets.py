@@ -85,7 +85,7 @@ def test_split_modality_run_training_mixed_epoch(tmp_path):
                                                 make_optimizer)
     from emmax_tpu.training.train_step import jit_train_step, make_train_step
 
-    tok = ByteLevelTokenizer(512)
+    tok = ByteLevelTokenizer(1024)
     make_synthetic_chat_json(tmp_path / "chat.json", 8,
                              image_dir=tmp_path / "img", text_only_every=2)
     ds = FinetuneDataset(tmp_path / "chat.json", tmp_path / "img", tok,
@@ -128,7 +128,7 @@ def test_text_only_rows_do_not_attend_patches():
     from emmax_tpu.models.vlm import (init_vlm_params, text_forward,
                                       tiny_vlm_config, vlm_forward)
 
-    cfg = tiny_vlm_config(vocab_size=512)
+    cfg = tiny_vlm_config(vocab_size=1024)
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 500, size=(1, 10))

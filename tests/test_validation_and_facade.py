@@ -49,9 +49,9 @@ def test_run_validation_dumps_json(tmp_path):
 def test_hf_facade_surface():
     from emmax_tpu.extern.hf_facade import EmmaXForVision2Seq, EmmaXProcessor
 
-    cfg = tiny_vlm_config(512)
+    cfg = tiny_vlm_config(1024)
     vla = EmmaXVLA(cfg, init_vlm_params(jax.random.PRNGKey(0), cfg),
-                   ByteLevelTokenizer(512),
+                   ByteLevelTokenizer(1024),
                    {n: ImageTransformConfig(size=v.img_size)
                     for n, v in cfg.vision})
     processor = EmmaXProcessor(vla)

@@ -14,9 +14,9 @@ from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 
 @pytest.fixture(scope="module")
 def vla():
-    cfg = tiny_vlm_config(vocab_size=512)
+    cfg = tiny_vlm_config(vocab_size=1024)
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
-    tok = ByteLevelTokenizer(vocab_size=512)
+    tok = ByteLevelTokenizer(vocab_size=1024)
     transforms = {name: ImageTransformConfig(size=v.img_size)
                   for name, v in cfg.vision}
     stats = {"bridge_orig": {"action": {
@@ -66,7 +66,7 @@ def test_predict_action_shape(vla):
 def test_save_load_roundtrip(tmp_path):
     from emmax_tpu.models.load import load_vla, save_pretrained
 
-    cfg = tiny_vlm_config(vocab_size=512)
+    cfg = tiny_vlm_config(vocab_size=1024)
     params = init_vlm_params(jax.random.PRNGKey(1), cfg)
     # persist with explicit backbone ids of the tiny config? the loader needs
     # registered ids — use the registered flagship ids but tiny dims are not
@@ -238,9 +238,9 @@ def test_closed_loop_speculative_vla_matches_plain():
     from emmax_tpu.ops.image import ImageTransformConfig
     from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 
-    cfg = tiny_vlm_config(512)
+    cfg = tiny_vlm_config(1024)
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
-    tok = ByteLevelTokenizer(512)
+    tok = ByteLevelTokenizer(1024)
     transforms = {n: ImageTransformConfig(size=v.img_size)
                   for n, v in cfg.vision}
     plain = EmmaXVLA(cfg, params, tok, transforms)
