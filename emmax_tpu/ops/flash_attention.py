@@ -15,7 +15,10 @@ the KV axis innermost ("arbitrary"); fp32 running max/sum/accumulator in
 VMEM scratch; deferred normalization (one divide at the last KV tile);
 causal tiles above the diagonal are skipped entirely. Backward is a
 ``custom_vjp`` with separate dQ and dKV kernels sharing the
-``di = sum(o * do)`` precomputation, using the saved log-sum-exp residual.
+``di = sum(o * do)`` precomputation, using the saved log-sum-exp residual;
+``fused_bwd=True`` instead folds dQ into the dKV kernel (one extra matmul
+per tile writing per-kv-block fp32 partials, reduced by XLA afterwards)
+so s and dp are computed once instead of twice.
 
 Single-token decode (Lq == 1) is HBM-bandwidth-bound, not MXU-bound — the
 wrapper routes it to the XLA path, which already streams the cache once.
@@ -246,7 +249,7 @@ def _dq_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                 di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, causal, sm_scale,
-                bq, bk, num_q_blocks):
+                bq, bk, num_q_blocks, dq_ref=None):
     j = pl.program_id(2)   # kv block (outer)
     i = pl.program_id(3)   # q block (inner)
 
@@ -294,6 +297,17 @@ def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_scr[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [bk, D]
+        if dq_ref is not None:
+            # fused dq: this (kv j, q i) tile's contribution, reduced over
+            # j outside the kernel (each output block is visited once)
+            dq_ref[0, 0, 0] = jax.lax.dot(
+                ds, k, preferred_element_type=jnp.float32)  # [bq, D] fp32
+
+    if dq_ref is not None and causal:
+        # causally-skipped tiles still own an output block: zero it
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dq():
+            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
     @pl.when(i == num_q_blocks - 1)
     def _store():
@@ -302,7 +316,7 @@ def _dkv_kernel(q_off_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
-               bq, bk):
+               bq, bk, fused):
     B, H, Lq, D = q.shape
     S = k.shape[2]
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -329,6 +343,9 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
         return specs
 
     # --- dQ ---
+    # Separate-pass dq kernel; skipped when the fused dkv kernel emits dq
+    # partials (one extra [bq, D] matmul + write per tile vs a whole extra
+    # pass that re-reads q/k/v/do and recomputes s and dp).
     def dq_kernel(q_off_ref, *refs):
         if kv_mask is not None:
             q_r, k_r, v_r, do_r, lse_r, di_r, km_r, dq_r, dq_s = refs
@@ -339,39 +356,46 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
                    dq_s, causal=causal, sm_scale=sm_scale, bq=bq, bk=bk,
                    num_kv_blocks=S // bk)
 
-    in_specs = build_specs("dq")
-    dq_args = [q, k, v, do, lse_b, di_b]
-    if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
-                                     lambda b, h, i, j, *_: (b, 0, 0)))
-        dq_args.append(kv_mask)
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, H, Lq // bq, S // bk),
-            in_specs=in_specs,
-            out_specs=[pl.BlockSpec((1, 1, bq, D),
-                                    lambda b, h, i, j, *_: (b, h, i, 0))],
-            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
-        ),
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
-        interpret=_interpret(),
-    )(q_off_arr, *dq_args)[0]
-
-    # --- dK, dV ---
-    def dkv_kernel(q_off_ref, *refs):
+    dq = None
+    if not fused:
+        in_specs = build_specs("dq")
+        dq_args = [q, k, v, do, lse_b, di_b]
         if kv_mask is not None:
-            q_r, k_r, v_r, do_r, lse_r, di_r, km_r, dk_r, dv_r, dk_s, dv_s = refs
-        else:
-            q_r, k_r, v_r, do_r, lse_r, di_r, dk_r, dv_r, dk_s, dv_s = refs
-            km_r = None
+            in_specs.append(pl.BlockSpec((1, 1, kv_mask.shape[-1]),
+                                         lambda b, h, i, j, *_: (b, 0, 0)))
+            dq_args.append(kv_mask)
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, H, Lq // bq, S // bk),
+                in_specs=in_specs,
+                out_specs=[pl.BlockSpec((1, 1, bq, D),
+                                        lambda b, h, i, j, *_: (b, h, i, 0))],
+                scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+            ),
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=_interpret(),
+        )(q_off_arr, *dq_args)[0]
+
+    # --- dK, dV (+ fused dq partials) ---
+    num_kv_blocks = S // bk
+
+    def dkv_kernel(q_off_ref, *refs):
+        refs = list(refs)
+        q_r, k_r, v_r, do_r, lse_r, di_r = refs[:6]
+        refs = refs[6:]
+        km_r = refs.pop(0) if kv_mask is not None else None
+        dk_r, dv_r = refs[:2]
+        refs = refs[2:]
+        dqp_r = refs.pop(0) if fused else None
+        dk_s, dv_s = refs
         _dkv_kernel(q_off_ref, km_r, q_r, k_r, v_r, do_r, lse_r, di_r,
                     dk_r, dv_r, dk_s, dv_s, causal=causal, sm_scale=sm_scale,
-                    bq=bq, bk=bk, num_q_blocks=Lq // bq)
+                    bq=bq, bk=bk, num_q_blocks=Lq // bq, dq_ref=dqp_r)
 
     in_specs = build_specs("dkv")
     dkv_args = [q, k, v, do, lse_b, di_b]
@@ -380,48 +404,60 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal, sm_scale,
                                      lambda b, h, j, i, *_: (b, 0, 0)))
         dkv_args.append(kv_mask)
     out_km = lambda b, h, j, i, *_: (b, h, j, 0)
-    dk, dv = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 1, bk, D), out_km),
+                 pl.BlockSpec((1, 1, bk, D), out_km)]
+    out_shapes = [jax.ShapeDtypeStruct(k.shape, k.dtype),
+                  jax.ShapeDtypeStruct(v.shape, v.dtype)]
+    if fused:
+        # per-kv-block dq partials, reduced over the leading axis below
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, bq, D), lambda b, h, j, i, *_: (j, b, h, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (num_kv_blocks, B, H, Lq, D), jnp.float32))
+    outs = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H, S // bk, Lq // bq),
+            grid=(B, H, num_kv_blocks, Lq // bq),
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec((1, 1, bk, D), out_km),
-                       pl.BlockSpec((1, 1, bk, D), out_km)],
+            out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
                             pltpu.VMEM((bk, D), jnp.float32)],
         ),
-        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=_interpret(),
     )(q_off_arr, *dkv_args)
+    dk, dv = outs[0], outs[1]
+    if fused:
+        dq = outs[2].sum(axis=0).astype(q.dtype)
     return dq, dk, dv
 
 
 # =============================== public =====================================
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk, bq_bwd,
-           bk_bwd):
+           bk_bwd, fused_bwd):
     o, _ = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
                       save_lse=False)
     return o
 
 
 def _flash_vjp_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
-                   bq_bwd, bk_bwd):
+                   bq_bwd, bk_bwd, fused_bwd):
     o, lse = _flash_fwd(q, k, v, kv_mask, q_offset, causal, sm_scale, bq, bk,
                         save_lse=True)
     return o, (q, k, v, kv_mask, q_offset, o, lse)
 
 
-def _flash_vjp_bwd(causal, sm_scale, bq, bk, bq_bwd, bk_bwd, res, do):
+def _flash_vjp_bwd(causal, sm_scale, bq, bk, bq_bwd, bk_bwd, fused_bwd, res,
+                   do):
     q, k, v, kv_mask, q_offset, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, o, lse, do, causal,
-                            sm_scale, bq_bwd, bk_bwd)
+                            sm_scale, bq_bwd, bk_bwd, fused_bwd)
     return dq, dk, dv, None, None
 
 
@@ -431,8 +467,8 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
                     q_offset=0, sm_scale: Optional[float] = None,
                     block_q: int = 512, block_k: int = 256,
-                    block_q_bwd: int = 256, block_k_bwd: int = 256
-                    ) -> jax.Array:
+                    block_q_bwd: int = 256, block_k_bwd: int = 256,
+                    fused_bwd: bool = False) -> jax.Array:
     """Flash attention in model layout q [B, Lq, H, D], k/v [B, Lk, H, D]
     (KV heads already repeated for GQA); kv_mask [B, Lk] bool.
 
@@ -485,6 +521,6 @@ def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
                    if kv_mask is not None else None)
 
     o = _flash(qt, kt, vt, kv_mask_i32, jnp.asarray(q_offset, jnp.int32),
-               causal, sm_scale, bq, bk, bq_bwd, bk_bwd)
+               causal, sm_scale, bq, bk, bq_bwd, bk_bwd, fused_bwd)
     o = o[:, :, :Lq]
     return jnp.moveaxis(o, 1, 2)

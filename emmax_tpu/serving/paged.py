@@ -784,34 +784,39 @@ def _append_page(pool, slot: int, table_idx, page_id):
 @partial(jax.jit, donate_argnums=(2,),
          static_argnames=("llm_cfg", "prefix_len", "page_size", "n_pages"))
 def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
-                            prefix_table, own_ids, slot, max_new, table_row,
-                            *, prefix_len: int, page_size: int,
+                            prefix_table, own_ids, slots, max_new,
+                            table_rows, *, prefix_len: int, page_size: int,
                             n_pages: int):
-    """Admit ONE request whose first ``prefix_len`` fused positions (BOS +
-    patch block) already live in SHARED pages (``prefix_table``, local
-    ids): only the prompt tail runs through the transformer. Tail K/V rows
-    (plus the shared boundary page's prefix rows, when ``prefix_len`` is
-    not page-aligned) are written into the request's OWN pages; the shared
-    full pages are referenced by ``table_row`` and never written. This is
-    the vLLM-style prefix-sharing admission: for Emma-X the patch block is
+    """Admit a GROUP of requests whose first ``prefix_len`` fused positions
+    (BOS + patch block) already live in the SAME shared pages
+    (``prefix_table``, local ids): only the equal-length prompt tails run
+    through the transformer, batched into ONE forward (``tail_ids``
+    [G, T]). Each request's tail K/V rows (plus the shared boundary page's
+    prefix rows, when ``prefix_len`` is not page-aligned) are written into
+    its OWN pages (``own_ids`` [G, n_own]); the shared full pages are
+    referenced by ``table_rows`` [G, P] and never written. This is the
+    vLLM-style prefix-sharing admission: for Emma-X the patch block is
     ~558 of ~690 fused positions, so N same-frame queries pay the ViT
-    towers + ~80% of prefill compute ONCE (beyond-reference; the reference
-    re-encodes every frame, ``prismatic.py:646-652``)."""
+    towers + ~80% of prefill compute ONCE — and batching the tails pays
+    the weight reads + prefix gather once per GROUP instead of per request
+    (beyond-reference; the reference re-encodes every frame,
+    ``prismatic.py:646-652``)."""
     stride = n_pages + 1
-    B, T = tail_ids.shape                              # B == 1
+    G, T = tail_ids.shape
     kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim
     quantized = "k_scale" in pool
     n_pre = prefix_table.shape[0]
-    n_own = own_ids.shape[0]
+    n_own = own_ids.shape[1]
     Sp = n_pre * page_size
     p0 = prefix_len // page_size                       # full shared pages
     own_start = p0 * page_size
     pad = own_start + n_own * page_size - (prefix_len + T)
 
-    h = embed_tokens(llm_params, tail_ids)             # [1, T, D]
+    h = embed_tokens(llm_params, tail_ids)             # [G, T, D]
     positions = prefix_len + jnp.arange(T, dtype=jnp.int32)[None]
-    cos, sin = rope_cos_sin(positions, hd, llm_cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, llm_cfg.rope_theta)  # [1, T, hd]
     pre_valid = jnp.arange(Sp) < prefix_len            # [Sp]
+    own_flat = own_ids.reshape(-1)                     # [G * n_own]
 
     def gather_prefix(i):
         gids = i * stride + prefix_table
@@ -826,17 +831,17 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
         return to_rows(k_p), to_rows(v_p)              # [1, Sp, KV, hd]
 
     def write_own(pages, rows, i):
-        # rows [1, own_span, KV, hd?]: the request's own region (boundary
+        # rows [G, own_span, KV, w]: each request's own region (boundary
         # prefix rows + tail + junk pad), paged and DUS'd per page
-        rows = rows[0].reshape(n_own, page_size, kv, -1).transpose(0, 2, 1, 3)
+        rows = rows.reshape(G * n_own, page_size, kv, -1).transpose(0, 2, 1, 3)
 
         def body(j, pg):
             val = jax.lax.dynamic_index_in_dim(rows, j, 0,
                                                keepdims=False)[:, None]
-            gid = i * stride + own_ids[j]
+            gid = i * stride + own_flat[j]
             return jax.lax.dynamic_update_slice(
                 pg, val.astype(pg.dtype), (0, gid, 0, 0))
-        return jax.lax.fori_loop(0, n_own, body, pages)
+        return jax.lax.fori_loop(0, G * n_own, body, pages)
 
     def body(i, carry):
         if quantized:
@@ -845,23 +850,24 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
             h, k_pool, v_pool = carry
         p = layer_slice(llm_params["layers"], i)
         x = rms_norm(h, p["attn_norm"], llm_cfg.norm_eps)
-        q = apply_rope(mm(x, p["wq"]).reshape(B, T, llm_cfg.n_heads, hd),
+        q = apply_rope(mm(x, p["wq"]).reshape(G, T, llm_cfg.n_heads, hd),
                        cos, sin)
-        k_t = apply_rope(mm(x, p["wk"]).reshape(B, T, kv, hd), cos, sin)
-        v_t = mm(x, p["wv"]).reshape(B, T, kv, hd)
-        k_pre, v_pre = gather_prefix(i)
-        k_cat = jnp.concatenate([k_pre, k_t], axis=1)  # [1, Sp+T, KV, hd]
-        v_cat = jnp.concatenate([v_pre, v_t], axis=1)
-        kv_mask = jnp.concatenate(
-            [pre_valid, jnp.ones((T,), bool)])[None]   # [1, Sp+T]
+        k_t = apply_rope(mm(x, p["wk"]).reshape(G, T, kv, hd), cos, sin)
+        v_t = mm(x, p["wv"]).reshape(G, T, kv, hd)
+        k_pre, v_pre = gather_prefix(i)                # [1, Sp, KV, hd]
+        bcast = lambda x: jnp.broadcast_to(x, (G,) + x.shape[1:])
+        k_cat = jnp.concatenate([bcast(k_pre), k_t], axis=1)
+        v_cat = jnp.concatenate([bcast(v_pre), v_t], axis=1)
+        kv_mask = jnp.broadcast_to(jnp.concatenate(
+            [pre_valid, jnp.ones((T,), bool)])[None], (G, Sp + T))
         attn = multi_head_attention(q, k_cat, v_cat, kv_mask=kv_mask,
                                     causal=True, q_offset=jnp.int32(Sp))
-        h = _attn_mlp_tail(h, attn.reshape(B, T, -1), p, llm_cfg.norm_eps)
+        h = _attn_mlp_tail(h, attn.reshape(G, T, -1), p, llm_cfg.norm_eps)
         # own region = prefix rows past the last full shared page + tail
-        full_k = jnp.concatenate(
-            [k_pre[:, own_start:prefix_len].astype(k_t.dtype), k_t], axis=1)
-        full_v = jnp.concatenate(
-            [v_pre[:, own_start:prefix_len].astype(v_t.dtype), v_t], axis=1)
+        bound_k = bcast(k_pre[:, own_start:prefix_len]).astype(k_t.dtype)
+        bound_v = bcast(v_pre[:, own_start:prefix_len]).astype(v_t.dtype)
+        full_k = jnp.concatenate([bound_k, k_t], axis=1)
+        full_v = jnp.concatenate([bound_v, v_t], axis=1)
         full_k = jnp.pad(full_k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         full_v = jnp.pad(full_v, ((0, 0), (0, pad), (0, 0), (0, 0)))
         if quantized:
@@ -888,12 +894,14 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
         pool = dict(pool, k=k_pool, v=v_pool)
     h = rms_norm(h[:, -1:], llm_params["final_norm"], llm_cfg.norm_eps)
     first = jnp.argmax(
-        mm(h, llm_params["lm_head"]).astype(jnp.float32)[0, 0])
-    pool["page_table"] = pool["page_table"].at[slot].set(table_row)
-    pool["len"] = pool["len"].at[slot].set(jnp.int32(prefix_len + T))
-    pool["cur"] = pool["cur"].at[slot].set(first.astype(jnp.int32))
-    pool["remaining"] = pool["remaining"].at[slot].set(max_new)
-    pool["active"] = pool["active"].at[slot].set(True)
+        mm(h, llm_params["lm_head"]).astype(jnp.float32)[:, 0], axis=-1)
+    pool["page_table"] = pool["page_table"].at[slots].set(table_rows)
+    pool["len"] = pool["len"].at[slots].set(
+        jnp.full((G,), prefix_len + T, jnp.int32))
+    pool["cur"] = pool["cur"].at[slots].set(first.astype(jnp.int32))
+    pool["remaining"] = pool["remaining"].at[slots].set(max_new)
+    pool["active"] = pool["active"].at[slots].set(
+        jnp.ones((G,), pool["active"].dtype))
     return pool
 
 
@@ -1050,48 +1058,77 @@ class PagedServingEngine:
         fused = req.prompt_ids.shape[1] + self.cfg.num_patches
         return -(-fused // self.page_size)
 
-    def _admit_shared_tail(self, req: _Request, slot: int) -> None:
+    def _admit_shared_tails(self, reqs: List[_Request],
+                            slots: List[int]) -> None:
+        """One batched tail prefill for a group of same-prefix, equal-shape
+        requests (same shared_key, tail length, and own-page count)."""
         ps = self.page_size
         prefix_len = 1 + self.cfg.num_patches
         p0 = prefix_len // ps
-        fused = req.prompt_ids.shape[1] + self.cfg.num_patches
-        n_own = -(-(fused + req.max_new_tokens) // ps) - p0
-        shared = self._shared_refs[req.shared_key]["ids"]
-        own = [self.free_pages.pop(0) for _ in range(n_own)]
-        table_row = np.full((self.max_pages_per_slot,), -1, np.int32)
-        table_row[:p0] = shared[:p0]
-        table_row[p0:p0 + n_own] = own
+        G = len(reqs)
+        fused = reqs[0].prompt_ids.shape[1] + self.cfg.num_patches
+        n_own = -(-(fused + reqs[0].max_new_tokens) // ps) - p0
+        shared = self._shared_refs[reqs[0].shared_key]["ids"]
+        own = np.asarray([[self.free_pages.pop(0) for _ in range(n_own)]
+                          for _ in range(G)], np.int32)
+        table_rows = np.full((G, self.max_pages_per_slot), -1, np.int32)
+        table_rows[:, :p0] = shared[:p0]
+        table_rows[:, p0:p0 + n_own] = own
         self.pool = _prefill_tail_into_pool(
             self.params["llm"], self.cfg.llm, self.pool,
-            jnp.asarray(req.tail_ids), jnp.asarray(shared, np.int32),
-            jnp.asarray(own, np.int32), jnp.int32(slot),
-            jnp.int32(req.max_new_tokens), jnp.asarray(table_row),
+            jnp.asarray(np.concatenate([r.tail_ids for r in reqs], 0)),
+            jnp.asarray(shared, np.int32),
+            jnp.asarray(own), jnp.asarray(slots, np.int32),
+            jnp.asarray([r.max_new_tokens for r in reqs], np.int32),
+            jnp.asarray(table_rows),
             prefix_len=prefix_len, page_size=ps, n_pages=self.n_pages)
-        req.slot = slot
-        req.n_pages = p0 + n_own
-        req.page_ids = own
-        self._page_owner[own] = slot
-        self._page_pos[own] = p0 + np.arange(n_own, dtype=np.int32)
-        self._len[slot] = fused
-        self._remaining[slot] = req.max_new_tokens
-        self.running[slot] = req
+        for g, (req, slot) in enumerate(zip(reqs, slots)):
+            req.slot = slot
+            req.n_pages = p0 + n_own
+            req.page_ids = list(int(p) for p in own[g])
+            self._page_owner[req.page_ids] = slot
+            self._page_pos[req.page_ids] = p0 + np.arange(n_own,
+                                                          dtype=np.int32)
+            self._len[slot] = fused
+            self._remaining[slot] = req.max_new_tokens
+            self.running[slot] = req
 
     def _admit(self) -> None:
         free_slots = [s for s in range(self.num_slots)
                       if s not in self.running]
         while free_slots and self.queue:
             if self.queue[0].tail_ids is not None:
-                # shared-prefix request: individual tail admission
-                req = self.queue[0]
+                # shared-prefix requests: batch same-key, equal-shape tails
+                # at the queue front into ONE tail prefill
+                lead = self.queue[0]
                 prefix_len = 1 + self.cfg.num_patches
                 p0 = prefix_len // self.page_size
-                fused = req.prompt_ids.shape[1] + self.cfg.num_patches
-                n_own = (-(-(fused + req.max_new_tokens)
+                fused = lead.prompt_ids.shape[1] + self.cfg.num_patches
+                n_own = (-(-(fused + lead.max_new_tokens)
                            // self.page_size) - p0)
-                if len(self.free_pages) < n_own + 1:
-                    break                        # admission waits for pages
-                self.queue.pop(0)
-                self._admit_shared_tail(req, free_slots.pop(0))
+                group: List[_Request] = []
+                pages_taken = 0
+                for req in self.queue:
+                    r_fused = (req.prompt_ids.shape[1]
+                               + self.cfg.num_patches)
+                    r_own = (-(-(r_fused + req.max_new_tokens)
+                               // self.page_size) - p0)
+                    if (len(group) >= len(free_slots)
+                            or req.tail_ids is None
+                            or req.shared_key != lead.shared_key
+                            or req.tail_ids.shape[1]
+                            != lead.tail_ids.shape[1]
+                            or r_own != n_own
+                            or (len(self.free_pages) - pages_taken
+                                < n_own + 1)):
+                        break                    # admission waits for pages
+                    group.append(req)
+                    pages_taken += n_own
+                if not group:
+                    break
+                del self.queue[:len(group)]
+                slots = [free_slots.pop(0) for _ in range(len(group))]
+                self._admit_shared_tails(group, slots)
                 continue
             # group the front of the queue: EQUAL prompt lengths batch into
             # ONE prefill (all-ones mask, no left-pad plumbing); a

@@ -119,9 +119,9 @@ def test_end_to_end_tiny_training_with_checkpoint(tmp_path, toks):
                                                 make_optimizer)
     from emmax_tpu.training.train_step import jit_train_step, make_train_step
 
-    tok = ByteLevelTokenizer(vocab_size=512)
+    tok = ByteLevelTokenizer(vocab_size=1024)
     at = ActionTokenizer(tok)
-    cfg = tiny_vlm_config(vocab_size=512)
+    cfg = tiny_vlm_config(vocab_size=1024)
     transforms = {name: ImageTransformConfig(size=v.img_size)
                   for name, v in cfg.vision}
     ds = GCOTDataset(make_dummy_gcot_items(8), at, tok,

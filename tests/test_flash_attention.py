@@ -144,3 +144,54 @@ def test_llama_forward_pallas_impl_matches_xla():
     out, _ = llama_forward(params, cfg, embeds, attn_impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4,
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_bwd_matches_separate(causal):
+    """fused_bwd=True (dq folded into the dkv kernel, per-kv-block partials)
+    must match the separate-pass gradients across multiple kv blocks,
+    including causally-skipped tiles and a padding mask."""
+    rng = np.random.default_rng(9)
+    q, k, v = _qkv(rng, B=1, L=512, H=2)
+    kv_mask = np.ones((1, 512), bool)
+    kv_mask[0, :40] = False
+    kv_mask = jnp.asarray(kv_mask)
+
+    def loss(fused):
+        def f(q, k, v):
+            o = flash_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                                block_q=128, block_k=128, block_q_bwd=128,
+                                block_k_bwd=128, fused_bwd=fused)
+            return jnp.sum(jnp.where(kv_mask[..., None, None], o, 0.0) ** 2)
+        return f
+
+    gf = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_fused_bwd_q_offset_and_padding():
+    """Rectangular cached-prefill shape with non-multiple lengths: fused
+    gradients match XLA autodiff through the padding wrapper."""
+    rng = np.random.default_rng(10)
+    q, k, v = _qkv(rng, B=1, L=200, H=1, S=392)
+    kv_mask = jnp.asarray(np.ones((1, 392), bool))
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return f
+
+    ff = lambda q, k, v: flash_attention(
+        q, k, v, kv_mask=kv_mask, causal=True, q_offset=192,
+        block_q=128, block_k=128, block_q_bwd=128, block_k_bwd=128,
+        fused_bwd=True)
+    fx = lambda q, k, v: xla_attention(q, k, v, kv_mask=kv_mask, causal=True,
+                                       q_offset=192)
+    gf = jax.grad(loss(ff), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss(fx), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")

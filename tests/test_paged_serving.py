@@ -298,3 +298,34 @@ def test_mixed_shared_and_plain_queue(setup):
         ref = _reference_tokens(cfg, params, tok, p, px, 5)
         assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
     assert sorted(eng.free_pages) == list(range(40))
+
+
+def test_shared_prefix_equal_tails_batch_into_one_admission(setup):
+    """Equal-length tails in one shared-prefix group must admit through a
+    SINGLE batched tail prefill (G=3), with token parity vs solo runs and
+    full page recycling."""
+    cfg, params, tok, pixels = setup
+    px = pixels(23)
+    # byte-level tokenizer: equal strings lengths with identical space
+    # positions encode to equal token counts
+    prompts = ["In: pick up the cup\nOut:", "In: pick up the pot\nOut:",
+               "In: pick up the jar\nOut:"]
+    lens = {len(tok.encode(p)) for p in prompts}
+    assert len(lens) == 1, lens
+    eng = PagedServingEngine(cfg, params, tok, num_slots=3, n_pages=64,
+                             page_size=4, max_pages_per_slot=16, burst=4)
+    calls = []
+    orig = eng._admit_shared_tails
+
+    def spy(reqs, slots):
+        calls.append(len(reqs))
+        return orig(reqs, slots)
+
+    eng._admit_shared_tails = spy
+    rids = eng.submit_shared(prompts, px, max_new_tokens=6)
+    done = eng.run_until_complete()
+    assert calls == [3], calls               # one G=3 batched admission
+    for rid, p in zip(rids, prompts):
+        ref = _reference_tokens(cfg, params, tok, p, px, 6)
+        assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
+    assert sorted(eng.free_pages) == list(range(64))

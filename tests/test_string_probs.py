@@ -12,9 +12,9 @@ from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 
 @pytest.fixture(scope="module")
 def vla():
-    cfg = tiny_vlm_config(512)
+    cfg = tiny_vlm_config(1024)
     return EmmaXVLA(cfg, init_vlm_params(jax.random.PRNGKey(0), cfg),
-                    ByteLevelTokenizer(512),
+                    ByteLevelTokenizer(1024),
                     {n: ImageTransformConfig(size=v.img_size)
                      for n, v in cfg.vision})
 
