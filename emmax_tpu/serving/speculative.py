@@ -142,6 +142,48 @@ def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int,
     return draft
 
 
+def _truncated_llm(params_llm, llm_cfg, d: int):
+    """First-``d``-layer view of a stacked decoder (embed/final_norm/lm_head
+    shared). Built ONCE per jitted call, outside the decode loop — slicing
+    stacked (possibly int4-packed) weights materializes a d-layer HBM copy,
+    which is the draft model's working set, not a per-chunk cost."""
+    import dataclasses
+
+    layers = jax.tree_util.tree_map(lambda a: a[:d], params_llm["layers"])
+    return (dict(params_llm, layers=layers),
+            dataclasses.replace(llm_cfg, n_layers=d))
+
+
+def _model_draft(dparams, dcfg, tok, cache, cur_pos, *, k: int,
+                 attn_impl: str):
+    """LayerSkip-style self-drafts: greedy k-token continuation from the
+    first ``dcfg.n_layers`` decoder layers + the shared final_norm/lm_head
+    (zero extra weights; arXiv:2404.16710's draft half, verified exactly by
+    the full model). The draft reads context from a first-d-layers VIEW of
+    the big cache — those layers' K/V for accepted tokens are identical to
+    what the draft model would have written (layer i's input depends only
+    on layers < i) — and writes its own speculative rows into the sliced
+    copy, which is discarded after the chunk; no draft state persists, so
+    the verifier's rewind logic is untouched."""
+    B = tok.shape[0]
+    dcache = {kk: (v[:dcfg.n_layers]
+                   if kk in ("k", "v", "k_scale", "v_scale") else v)
+              for kk, v in cache.items()}
+
+    def step(j, carry):
+        dtok, dcache, drafts = carry
+        emb = embed_tokens(dparams, jnp.clip(dtok, 0)[:, None])
+        lg, dcache = llm_apply(dparams, dcfg, emb,
+                               positions=(cur_pos + j)[:, None],
+                               kv_cache=dcache, attn_impl=attn_impl)
+        nxt = jnp.argmax(lg[:, 0].astype(jnp.float32), -1).astype(jnp.int32)
+        return (nxt, dcache, drafts.at[:, j].set(nxt))
+
+    _, _, drafts = jax.lax.fori_loop(
+        0, k, step, (tok, dcache, jnp.zeros((B, k), jnp.int32)))
+    return drafts
+
+
 def _spec_prefill_impl(params, cfg: VLMConfig, input_ids, mask,
                        pixel_values, *, cache_len: int,
                        attn_impl: str = "xla",
@@ -193,8 +235,18 @@ _spec_tail_refresh = partial(jax.jit, static_argnames=(
 
 def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
                       first_in, cur_pos, forced, draft_ctx, *, max_new: int,
-                      eos_id: int, attn_impl: str = "xla", k: int = 8):
+                      eos_id: int, attn_impl: str = "xla", k: int = 8,
+                      draft_layers: int = 0):
     """Draft/verify loop → (tokens [B, max_new], verifier steps, chk).
+
+    ``draft_layers`` > 0 switches the draft source from prompt lookup to
+    LayerSkip self-drafts (``_model_draft``): the first ``draft_layers``
+    decoder layers propose the chunk. Lookup is free but only fires on
+    repetitive text; layer drafts cost ~``k * draft_layers/n_layers`` of a
+    verifier step in weight reads and fire on anything the truncated model
+    can predict — on real trained weights early exits agree with the full
+    model on easy tokens (the majority in GCOT scaffolding). Greedy output
+    is exact either way.
 
     ``forced`` (optional [B, >= max_new + 2k+2] int32): teacher-forced
     verifier outputs for benchmarking — every verifier forward still runs
@@ -211,6 +263,12 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
     """
     B, L = input_ids.shape
     first_tok = forced[:, 0] if forced is not None else first_in
+    if draft_layers:
+        if not 0 < draft_layers < cfg.llm.n_layers:
+            raise ValueError(
+                f"draft_layers={draft_layers} must be in "
+                f"[1, n_layers-1={cfg.llm.n_layers - 1}]")
+        dparams, dcfg = _truncated_llm(params["llm"], cfg.llm, draft_layers)
     # switch the cache to per-row cursors (continuous-batching path)
     F = cache["len"]
     cache = dict(cache, len=jnp.broadcast_to(F, (B,)).astype(jnp.int32))
@@ -264,7 +322,11 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         (steps, tok, cache, hist, hlen, out, out_len, cur_pos, done,
          chk) = state
         t0 = cache["len"]                                          # [B]
-        draft = lookup_draft(hist, hlen, k)                        # [B, k]
+        if draft_layers:
+            draft = _model_draft(dparams, dcfg, tok, cache, cur_pos,
+                                 k=k, attn_impl=attn_impl)         # [B, k]
+        else:
+            draft = lookup_draft(hist, hlen, k)                    # [B, k]
         chunk = jnp.concatenate([tok[:, None], draft], axis=1)    # [B, k+1]
         pos = cur_pos[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
         emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
@@ -313,7 +375,8 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
 
 
 _spec_decode = partial(jax.jit, static_argnames=(
-    "cfg", "max_new", "eos_id", "attn_impl", "k"))(_spec_decode_impl)
+    "cfg", "max_new", "eos_id", "attn_impl", "k",
+    "draft_layers"))(_spec_decode_impl)
 
 
 # Fused one-dispatch runners: on this image's remote-TPU relay every jitted
@@ -332,45 +395,50 @@ def _pack_outputs(out, steps, chk):
 
 
 @partial(jax.jit, static_argnames=("cfg", "cache_len", "max_new", "eos_id",
-                                   "attn_impl", "k", "quantized_cache"))
+                                   "attn_impl", "k", "quantized_cache",
+                                   "draft_layers"))
 def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
                    forced, draft_ctx, *, cache_len: int, max_new: int,
                    eos_id: int, attn_impl: str = "xla", k: int = 8,
-                   quantized_cache: bool = False):
+                   quantized_cache: bool = False, draft_layers: int = 0):
     cache, first, cur_pos, patches = _spec_prefill_impl(
         params, cfg, input_ids, mask, pixel_values, cache_len=cache_len,
         attn_impl=attn_impl, quantized_cache=quantized_cache)
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, cur_pos, forced,
-        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
+        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
+        draft_layers=draft_layers)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, cur_pos, patches
 
 
 @partial(jax.jit, static_argnames=("cfg", "t_tail", "max_new", "eos_id",
-                                   "attn_impl", "k"))
+                                   "attn_impl", "k", "draft_layers"))
 def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
                    prev_cur_pos, forced, draft_ctx, *, t_tail: int,
                    max_new: int, eos_id: int, attn_impl: str = "xla",
-                   k: int = 8):
+                   k: int = 8, draft_layers: int = 0):
     cache, first = _spec_tail_impl(
         params, cfg, input_ids[:, -t_tail:], prev_cache, prev_cur_pos,
         t_tail=t_tail, attn_impl=attn_impl)
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, prev_cur_pos, forced,
-        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k)
+        draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
+        draft_layers=draft_layers)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, prev_cur_pos
 
 
 def _generate_speculative(params, cfg, input_ids, mask, pixel_values, forced,
                           draft_ctx=None, *, max_new, cache_len, eos_id,
-                          attn_impl="xla", k=8, quantized_cache=False):
+                          attn_impl="xla", k=8, quantized_cache=False,
+                          draft_layers=0):
     """One-dispatch composition (kept for tests/compat)."""
     packed, _, _, _ = _spec_run_full(
         params, cfg, input_ids, mask, pixel_values, forced, draft_ctx,
         cache_len=cache_len, max_new=max_new, eos_id=eos_id,
-        attn_impl=attn_impl, k=k, quantized_cache=quantized_cache)
+        attn_impl=attn_impl, k=k, quantized_cache=quantized_cache,
+        draft_layers=draft_layers)
     return packed[:, :-2], packed[0, -2], None
 
 
@@ -389,14 +457,23 @@ class SpeculativeEngine(ServingEngine):
     frame's cache (``last_prefill`` = "full" | "tail" records which path
     ran). The Emma-X closed-loop prompt only changes in the
     ``CURRENT GRIPPER: [x, y]`` coordinates, which sit in the tail.
+
+    ``draft_layers`` (> 0) drafts with the model's own first N decoder
+    layers (LayerSkip self-speculation) instead of prompt lookup — fires
+    on non-repetitive text too, at ~``draft_k * N/n_layers`` of a verifier
+    step per chunk in weight reads. Needs real trained weights for useful
+    acceptance (early exits of random weights disagree with the full
+    model); output is exact regardless of draft quality.
     """
 
     def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,
-                 force_bf16_spec: bool = False, **kwargs) -> None:
+                 force_bf16_spec: bool = False, draft_layers: int = 0,
+                 **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
             raise ValueError("SpeculativeEngine is greedy-only")
         self.draft_k = draft_k
+        self.draft_layers = draft_layers
         self.prefix_tail = prefix_tail
         self.last_steps: Optional[int] = None
         self.last_prefill: Optional[str] = None
@@ -538,14 +615,16 @@ class SpeculativeEngine(ServingEngine):
                 self.params, self.cfg, ids, mask, pre["cache"],
                 pre["cur_pos"], forced, ctx, t_tail=self.prefix_tail,
                 max_new=max_new, eos_id=self.options.eos_id,
-                attn_impl=self.attn_impl, k=self.draft_k)
+                attn_impl=self.attn_impl, k=self.draft_k,
+                draft_layers=self.draft_layers)
             self.last_prefill = "tail"
         else:
             packed, cache, cur_pos, enc = _spec_run_full(
                 self.params, self.cfg, ids, mask, vision, forced, ctx,
                 cache_len=cache_len, max_new=max_new,
                 eos_id=self.options.eos_id, attn_impl=self.attn_impl,
-                k=self.draft_k, quantized_cache=self.quantized_cache)
+                k=self.draft_k, quantized_cache=self.quantized_cache,
+                draft_layers=self.draft_layers)
             self.last_prefill = "full"
             if patches is None and fp is not None:
                 vc.store(fp, enc)

@@ -417,3 +417,88 @@ def test_bf16_fence_refuses_forced_tokens_and_keeps_vision_cache(
     out2 = eng.generate_ids(["In: x\nOut: "], pixels, frame_key=frame)
     assert eng.vision_cache.hits == 1                 # second frame hit
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+# ------------------------------------------------- LayerSkip self-drafts
+
+def test_layer_draft_matches_plain_greedy(setup):
+    """draft_layers>0 swaps prompt lookup for early-exit self-drafts; greedy
+    output must stay exactly the plain engine's regardless of how bad the
+    truncated model's proposals are (random weights: near-zero accepts)."""
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4,
+                             draft_layers=1)
+    rng = np.random.default_rng(5)
+    prompts = ["In: do the thing\nOut:",
+               "In: a much longer instruction goes right here\nOut:"]
+    pixels = _pixels(cfg, rng, 2)
+    want = plain.generate_ids(prompts, pixels, max_new_tokens=20)
+    got = spec.generate_ids(prompts, pixels, max_new_tokens=20)
+    np.testing.assert_array_equal(got, want)
+    assert 1 <= spec.last_steps <= 20
+
+
+def test_layer_draft_quantized_cache_parity(setup):
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    plain = ServingEngine(cfg, params, tok, options=opts,
+                          quantized_cache=True)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=3,
+                             draft_layers=1, quantized_cache=True)
+    rng = np.random.default_rng(6)
+    pixels = _pixels(cfg, rng, 1)
+    want = plain.generate_ids(["In: q\nOut:"], pixels, max_new_tokens=10)
+    got = spec.generate_ids(["In: q\nOut:"], pixels, max_new_tokens=10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_layer_draft_accepts_when_early_exit_agrees(setup):
+    """With zeroed decoder layers the truncated model IS the full model
+    (output depends only on embed/lm_head), so every layer draft must be
+    accepted: far fewer verifier steps than emitted tokens."""
+    cfg, params, tok = setup
+    D, V = cfg.llm.dim, cfg.llm.vocab_size
+
+    def nxt(t):
+        return {5: 6, 6: 7, 7: 5}.get(t % D, 5)
+
+    embed = np.zeros((V, D), np.float32)
+    embed[np.arange(V), np.arange(V) % D] = 10.0
+    lm_head = np.zeros((D, V), np.float32)
+    lm_head[np.arange(D), [nxt(d) for d in range(D)]] = 100.0
+    llm = jax.tree_util.tree_map(jnp.zeros_like, params["llm"])
+    llm = dict(llm, embed=jnp.asarray(embed), lm_head=jnp.asarray(lm_head),
+               final_norm=params["llm"]["final_norm"])
+    llm["layers"] = dict(llm["layers"],
+                         attn_norm=params["llm"]["layers"]["attn_norm"],
+                         mlp_norm=params["llm"]["layers"]["mlp_norm"])
+    cyc_params = dict(params, llm=llm)
+
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    spec = SpeculativeEngine(cfg, cyc_params, tok, options=opts, draft_k=4,
+                             draft_layers=1)
+    rng = np.random.default_rng(7)
+    out = spec.generate_ids(["In: loop\nOut:"], _pixels(cfg, rng, 1),
+                            max_new_tokens=20)[0]
+    cur = tok.encode("In: loop\nOut:")[-1]
+    expected = []
+    for _ in range(20):
+        cur = nxt(cur)
+        expected.append(cur)
+    np.testing.assert_array_equal(out, expected)
+    # full-k accepts from the FIRST chunk (no history warmup needed, unlike
+    # prompt lookup): ceil(20 / (k+1)) = 4 steps
+    assert spec.last_steps <= 5, spec.last_steps
+
+
+def test_layer_draft_depth_validation(setup):
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=2,
+                             draft_layers=cfg.llm.n_layers)  # == full depth
+    rng = np.random.default_rng(8)
+    with pytest.raises(ValueError, match="draft_layers"):
+        spec.generate_ids(["In: x\nOut:"], _pixels(cfg, rng, 1),
+                          max_new_tokens=4)
