@@ -16,9 +16,39 @@ Prints ONE JSON line:
 
 import json
 import os
+import threading
 import time
 
 os.environ.setdefault("EMMAX_LOG_LEVEL", "WARNING")
+
+# Watchdog: the remote-TPU relay can wedge (observed: jax backend init
+# blocking indefinitely when the tunnel drops). A hung bench records
+# NOTHING; better to emit an honest error line and exit nonzero so the
+# failure is legible in BENCH_r*.json rather than a driver timeout.
+_WATCHDOG_S = int(os.environ.get("EMMAX_BENCH_WATCHDOG_S", 85 * 60))
+_progress = {"t": time.time(), "note": "import"}
+
+
+def _heartbeat(note: str) -> None:
+    _progress["t"] = time.time()
+    _progress["note"] = note
+
+
+def _watchdog() -> None:
+    while True:
+        time.sleep(60)
+        if time.time() - _progress["t"] > _WATCHDOG_S:
+            print(json.dumps({
+                "metric": "emma_x_7b_amortized_frame_to_action_hz",
+                "value": 0.0, "unit": "Hz", "vs_baseline": 0.0,
+                "error": f"watchdog: no progress past stage "
+                         f"{_progress['note']!r} for {_WATCHDOG_S}s "
+                         "(TPU relay unreachable or compile hung)"}),
+                flush=True)
+            os._exit(2)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +126,7 @@ def main():
         results["bf16"] = {"total_s": t_full,
                            "prefill_s": t_short - 16 * per_tok,
                            "decode_tok_s": 1.0 / per_tok}
+        _heartbeat("bf16")
         extras["bf16_decode_tok_s"] = round(1.0 / per_tok, 1)
         extras["bf16_prefill_ms"] = round(results["bf16"]["prefill_s"] * 1e3, 1)
         del engine, params
@@ -116,6 +147,7 @@ def main():
         results["int8"] = {"total_s": tq_full,
                            "prefill_s": tq_short - 16 * per_tok_q,
                            "decode_tok_s": 1.0 / per_tok_q}
+        _heartbeat("int8")
         extras["int8_decode_tok_s"] = round(1.0 / per_tok_q, 1)
         extras["int8_prefill_ms"] = round(results["int8"]["prefill_s"] * 1e3, 1)
 
@@ -163,6 +195,7 @@ def main():
         results["int4"] = {"total_s": t4_full,
                            "prefill_s": t4_short - 16 * per_tok_4,
                            "decode_tok_s": 1.0 / per_tok_4}
+        _heartbeat("int4")
         extras["int4_decode_tok_s"] = round(1.0 / per_tok_4, 1)
         extras["int4_prefill_ms"] = round(results["int4"]["prefill_s"] * 1e3, 1)
     except Exception as e:  # pragma: no cover
@@ -281,6 +314,7 @@ def main():
         t_cold = best_ts[0]
         results["int4_spec_closedloop"] = {
             "total_s": t_frame, "decode_tok_s": TYPICAL_TOKENS / t_frame}
+        _heartbeat("closedloop")
         extras["closedloop_decode_tokens"] = TYPICAL_TOKENS
         extras["closedloop_frames"] = FRAMES
         extras["closedloop_frame_ms"] = round(t_frame * 1e3, 1)
@@ -324,6 +358,7 @@ def main():
         fts, fsteps, _ = episode(floor_eng, TYPICAL_TOKENS, floor_streams,
                                  n_frames=3, seed_cold=False)
         t_floor = sum(fts) / len(fts)
+        _heartbeat("floor")
         extras["closedloop_floor_frame_ms"] = round(t_floor * 1e3, 1)
         extras["closedloop_floor_hz"] = round(ACTIONS_PER_DECODE / t_floor, 2)
         extras["closedloop_floor_steps_per_frame"] = fsteps
@@ -378,6 +413,7 @@ def main():
 
         run_paged()                          # warmup/compile
         total_toks, t_paged = run_paged()
+        _heartbeat("paged")
         extras["paged_6req_agg_tok_s"] = round(total_toks / t_paged, 1)
         extras["paged_pool_token_slots"] = 34 * 128  # int8 rows
 
