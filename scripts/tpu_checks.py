@@ -155,5 +155,50 @@ def paged_parity():
         sys.exit(1)
 
 
+def flash_fused_bwd():
+    """Fused (dq-in-dkv) vs separate-pass flash backward, COMPILED on the
+    chip (the CPU tests run the same kernels in interpret mode): gradient
+    rel-RMSE across multiple kv blocks with causal skip + padding mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.ops.flash_attention import flash_attention
+
+    B, L, H, D = 2, 512, 8, 128
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+    m = np.ones((B, L), bool)
+    m[:, :56] = False
+    m = jnp.asarray(m)
+
+    def loss(fused):
+        def f(q, k, v):
+            o = flash_attention(q, k, v, kv_mask=m, causal=True,
+                                block_q=128, block_k=128, block_q_bwd=128,
+                                block_k_bwd=128, fused_bwd=fused)
+            return jnp.sum(jnp.where(m[..., None, None], o, 0.0)
+                           .astype(jnp.float32) ** 2)
+        return f
+
+    gf = jax.jit(jax.grad(loss(True), argnums=(0, 1, 2)))(q, k, v)
+    gs = jax.jit(jax.grad(loss(False), argnums=(0, 1, 2)))(q, k, v)
+    rel = {}
+    for a, b, name in zip(gf, gs, ("dq", "dk", "dv")):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel[name] = float(np.sqrt(np.mean((a - b) ** 2))
+                          / (np.sqrt(np.mean(b ** 2)) + 1e-9))
+    ok = all(r < 2e-2 for r in rel.values())
+    print(json.dumps({"check": "flash_fused_bwd", "match": bool(ok),
+                      **{f"{n}_rel_rmse": round(r, 6)
+                         for n, r in rel.items()},
+                      "backend": str(jax.devices()[0])}))
+    if not ok:
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    {"quant_small": quant_small, "paged_parity": paged_parity}[sys.argv[1]]()
+    {"quant_small": quant_small, "paged_parity": paged_parity,
+     "flash_fused_bwd": flash_fused_bwd}[sys.argv[1]]()

@@ -60,3 +60,8 @@ def test_quant_quality_on_chip():
 def test_paged_kernel_matches_gather_on_chip():
     out = _run_check("paged_parity")
     assert out["match"], out
+
+
+def test_flash_fused_bwd_on_chip():
+    out = _run_check("flash_fused_bwd")
+    assert out["match"], out
