@@ -80,7 +80,9 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     if impl == "xla":
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                              q_offset=q_offset)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_fused"):
+        # "pallas_fused" additionally folds dq into the backward's dkv
+        # kernel (training-path A/B lever; identical forward)
         if getattr(jnp.asarray(q_offset), "ndim", 0) > 0:
             # per-row cursors (continuous batching) — xla path
             return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
@@ -90,5 +92,6 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
         n_rep = q.shape[2] // k.shape[2]
         return flash_attention(q, _repeat_kv(k, n_rep), _repeat_kv(v, n_rep),
                                kv_mask=kv_mask, causal=causal,
-                               q_offset=q_offset)
+                               q_offset=q_offset,
+                               fused_bwd=(impl == "pallas_fused"))
     raise ValueError(f"unknown attention impl {impl!r}")

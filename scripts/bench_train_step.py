@@ -40,7 +40,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="proxy1b",
                     choices=["proxy1b", "align7b"])
-    ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--attn", default="xla",
+                    choices=["xla", "pallas", "pallas_fused"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--text_len", type=int, default=320)
     ap.add_argument("--reps", type=int, default=5)

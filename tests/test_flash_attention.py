@@ -195,3 +195,31 @@ def test_fused_bwd_q_offset_and_padding():
     for a, b, name in zip(gf, gx, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=f"d{name}")
+
+
+def test_llama_grads_pallas_fused_impl_matches_xla():
+    """Training-path integration: grads through llama_forward with
+    attn_impl='pallas_fused' (fused dq-in-dkv backward) match the XLA
+    attention path."""
+    from emmax_tpu.models.llama import (LlamaConfig, embed_tokens,
+                                        init_llama_params, llama_forward)
+
+    cfg = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                      n_kv_heads=2, hidden_dim=512, max_seq_len=256)
+    params = init_llama_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, 256, size=(1, 64)))
+
+    def loss(impl):
+        def f(params):
+            embeds = embed_tokens(params, ids)
+            lg, _ = llama_forward(params, cfg, embeds, attn_impl=impl)
+            return jnp.mean(lg.astype(jnp.float32) ** 2)
+        return f
+
+    gx = jax.grad(loss("xla"))(params)
+    gf = jax.grad(loss("pallas_fused"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-3)
