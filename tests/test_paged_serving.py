@@ -300,10 +300,14 @@ def test_mixed_shared_and_plain_queue(setup):
     assert sorted(eng.free_pages) == list(range(40))
 
 
-def test_shared_prefix_equal_tails_batch_into_one_admission(setup):
+@pytest.mark.parametrize("page_size", [4, 32, 5])
+def test_shared_prefix_equal_tails_batch_into_one_admission(setup,
+                                                            page_size):
     """Equal-length tails in one shared-prefix group must admit through a
     SINGLE batched tail prefill (G=3), with token parity vs solo runs and
-    full page recycling."""
+    full page recycling — across page geometries: ps=4 (boundary-copy),
+    ps=32 (prefix smaller than a page, p0=0), ps=5 (page-aligned prefix,
+    no boundary rows in the own region)."""
     cfg, params, tok, pixels = setup
     px = pixels(23)
     # byte-level tokenizer: equal strings lengths with identical space
@@ -313,7 +317,8 @@ def test_shared_prefix_equal_tails_batch_into_one_admission(setup):
     lens = {len(tok.encode(p)) for p in prompts}
     assert len(lens) == 1, lens
     eng = PagedServingEngine(cfg, params, tok, num_slots=3, n_pages=64,
-                             page_size=4, max_pages_per_slot=16, burst=4)
+                             page_size=page_size, max_pages_per_slot=16,
+                             burst=4)
     calls = []
     orig = eng._admit_shared_tails
 
