@@ -1,0 +1,86 @@
+"""Flash-attention kernel timings on the real TPU (fwd + bwd, per impl).
+
+Measures the shapes in docs/BENCHMARKS.md's kernel table — Emma-X's fused
+training length (B8 L448: 19 text+patch tokens short of the bucketed 576,
+chosen to match the original table) and the reference's max context (B2
+L2048, ``/root/reference/prismatic/models/backbones/llm/llama2.py:58``) —
+for the XLA dot-product path, the separate-pass Pallas backward, and the
+fused dkv+dq Pallas backward (``flash_attention(fused_bwd=True)``).
+
+    python scripts/bench_flash.py [--reps 20]
+
+Prints one JSON line per (shape, impl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--shapes", default="8x448,2x2048",
+                    help="comma list of BxL")
+    ap.add_argument("--impls", default="xla,pallas,pallas_fused")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from emmax_tpu.ops.attention import multi_head_attention
+
+    H, D = 32, 128
+    rng = np.random.default_rng(0)
+
+    for shape in args.shapes.split(","):
+        B, L = (int(v) for v in shape.split("x"))
+        q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+
+        for impl in args.impls.split(","):
+
+            @jax.jit
+            def fwd(q, k, v, impl=impl):
+                return multi_head_attention(q, k, v, causal=True,
+                                            impl=impl).sum()
+
+            @jax.jit
+            def bwd(q, k, v, impl=impl):
+                def loss(q, k, v):
+                    return multi_head_attention(
+                        q, k, v, causal=True,
+                        impl=impl).astype(jnp.float32).sum()
+                return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+            def t_of(fn):
+                out = fn(q, k, v)
+                jax.block_until_ready(out)      # compile
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(q, k, v))
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts))
+
+            t_f, t_b = t_of(fwd), t_of(bwd)
+            print(json.dumps({
+                "bench": "flash_kernel", "B": B, "L": L, "impl": impl,
+                "fwd_ms": round(t_f * 1e3, 2),
+                "fwd_bwd_ms": round(t_b * 1e3, 2),
+                "bwd_only_ms": round((t_b - t_f) * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
