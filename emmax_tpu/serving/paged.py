@@ -782,11 +782,12 @@ def _append_page(pool, slot: int, table_idx, page_id):
 
 
 @partial(jax.jit, donate_argnums=(2,),
-         static_argnames=("llm_cfg", "prefix_len", "page_size", "n_pages"))
+         static_argnames=("llm_cfg", "prefix_len", "page_size", "n_pages",
+                          "contiguous"))
 def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
                             prefix_table, own_ids, slots, max_new,
                             table_rows, *, prefix_len: int, page_size: int,
-                            n_pages: int):
+                            n_pages: int, contiguous: bool = False):
     """Admit a GROUP of requests whose first ``prefix_len`` fused positions
     (BOS + patch block) already live in the SAME shared pages
     (``prefix_table``, local ids): only the equal-length prompt tails run
@@ -834,6 +835,15 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
         # rows [G, own_span, KV, w]: each request's own region (boundary
         # prefix rows + tail + junk pad), paged and DUS'd per page
         rows = rows.reshape(G * n_own, page_size, kv, -1).transpose(0, 2, 1, 3)
+        # contiguous fast path (the host pops G*n_own CONSECUTIVE page ids,
+        # the common case right after cold start): the whole group's own
+        # pages land in ONE dynamic_update_slice per layer per tensor —
+        # same design as _prefill_into_pool.write_pages
+        if contiguous:
+            val = rows.transpose(1, 0, 2, 3)         # [KV, G*n_own, ps, w]
+            return jax.lax.dynamic_update_slice(
+                pages, val.astype(pages.dtype),
+                (0, i * stride + own_flat[0], 0, 0))
 
         def body(j, pg):
             val = jax.lax.dynamic_index_in_dim(rows, j, 0,
@@ -1071,6 +1081,8 @@ class PagedServingEngine:
         shared = self._shared_refs[reqs[0].shared_key]["ids"]
         own = np.asarray([[self.free_pages.pop(0) for _ in range(n_own)]
                           for _ in range(G)], np.int32)
+        own_flat = own.reshape(-1)
+        contig = bool(np.all(own_flat == own_flat[0] + np.arange(G * n_own)))
         table_rows = np.full((G, self.max_pages_per_slot), -1, np.int32)
         table_rows[:, :p0] = shared[:p0]
         table_rows[:, p0:p0 + n_own] = own
@@ -1081,7 +1093,8 @@ class PagedServingEngine:
             jnp.asarray(own), jnp.asarray(slots, np.int32),
             jnp.asarray([r.max_new_tokens for r in reqs], np.int32),
             jnp.asarray(table_rows),
-            prefix_len=prefix_len, page_size=ps, n_pages=self.n_pages)
+            prefix_len=prefix_len, page_size=ps, n_pages=self.n_pages,
+            contiguous=contig)
         for g, (req, slot) in enumerate(zip(reqs, slots)):
             req.slot = slot
             req.n_pages = p0 + n_own

@@ -334,3 +334,39 @@ def test_shared_prefix_equal_tails_batch_into_one_admission(setup,
         ref = _reference_tokens(cfg, params, tok, p, px, 6)
         assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
     assert sorted(eng.free_pages) == list(range(64))
+
+
+def test_shared_tails_fragmented_free_list(setup):
+    """After recycling, the free list is arbitrary: popped own pages are no
+    longer consecutive, so the batched tail admission must take the
+    per-page DUS path (contiguous=False) and still produce solo-run parity
+    (regression guard for the contiguous fast-path gate)."""
+    cfg, params, tok, pixels = setup
+    px = pixels(31)
+    prompts = ["In: pick up the cup\nOut:", "In: pick up the pot\nOut:"]
+    eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=64,
+                             page_size=4, max_pages_per_slot=16, burst=4)
+    # simulate post-recycling order: interleave front/back of the free list
+    half = len(eng.free_pages) // 2
+    eng.free_pages = [p for pair in zip(eng.free_pages[:half],
+                                        reversed(eng.free_pages[half:]))
+                      for p in pair]
+    taken = []
+    orig_tails = eng._admit_shared_tails
+
+    def spy(reqs, slots):
+        before = list(eng.free_pages)
+        orig_tails(reqs, slots)
+        n = len(before) - len(eng.free_pages)
+        taken.append(before[:n])
+
+    eng._admit_shared_tails = spy
+    rids = eng.submit_shared(prompts, px, max_new_tokens=6)
+    done = eng.run_until_complete()
+    flat = [p for grp in taken for p in grp]
+    assert flat != sorted(flat) or any(
+        b - a != 1 for a, b in zip(flat, flat[1:])), flat  # truly scattered
+    for rid, p in zip(rids, prompts):
+        ref = _reference_tokens(cfg, params, tok, p, px, 6)
+        assert done[rid][:len(ref)] == ref, (p, done[rid], ref)
+    assert sorted(eng.free_pages) == list(range(64))
