@@ -54,6 +54,7 @@ from the stacked array.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict
 
 import jax
@@ -163,23 +164,42 @@ def _int4_matmul_xla(x2d, qw):
     return x2d @ w
 
 
+# Unpack variant inside the kernel ("shift" | "arith"), env-selectable for
+# on-chip A/B (EMMAX_INT4_UNPACK=arith):
+# - "shift": hi via one int32 arithmetic shift, lo via int32 AND — two
+#   int8→int32→bf16 round trips per byte (round-3 measured 567 GB/s).
+# - "arith": no int32 ops at all. lo_u = b & 15 at INT8 width (Mosaic
+#   legalizes int8 AND), then hi16 := bf16(b) − bf16(lo_u) = 16·hi EXACTLY
+#   (b, lo_u, and their difference are all integers ≤ |127|, below bf16's
+#   2^8 exact-integer range), and the ÷16 folds into the hi scale row
+#   (one [1, BN] multiply) instead of the [group, BN] tile.
+_UNPACK = os.environ.get("EMMAX_INT4_UNPACK", "shift")
+
+
 def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
-            stacked: bool):
+            stacked: bool, unpack: str = None):
     """One [BM, BN] output tile; K fully resident, statically unrolled."""
+    unpack = unpack or _UNPACK
     x = x_ref[:]                                    # [BM, D]
     d_half = g_half * group
     acc = None
     for g in range(g_half):
         if stacked:
-            b = q4_ref[0, g * group:(g + 1) * group, :].astype(jnp.int32)
+            b8 = q4_ref[0, g * group:(g + 1) * group, :]
             s_lo = s_ref[0, g, :][None, :]          # [1, BN] f32
             s_hi = s_ref[0, g_half + g, :][None, :]
         else:
-            b = q4_ref[g * group:(g + 1) * group, :].astype(jnp.int32)
+            b8 = q4_ref[g * group:(g + 1) * group, :]
             s_lo = s_ref[g, :][None, :]
             s_hi = s_ref[g_half + g, :][None, :]
-        lo = _low_biased(b).astype(jnp.bfloat16)        # [group, BN], +8
-        hi = _high_signed(b).astype(jnp.bfloat16)
+        if unpack == "arith":
+            lo = (b8 & 15).astype(jnp.bfloat16)         # [group, BN], +8
+            hi = b8.astype(jnp.bfloat16) - lo           # = 16·hi, exact
+            s_hi = s_hi * 0.0625
+        else:
+            b = b8.astype(jnp.int32)
+            lo = _low_biased(b).astype(jnp.bfloat16)    # [group, BN], +8
+            hi = _high_signed(b).astype(jnp.bfloat16)
         x_lo = x[:, g * group:(g + 1) * group].astype(jnp.bfloat16)
         x_hi = x[:, d_half + g * group:
                  d_half + (g + 1) * group].astype(jnp.bfloat16)
@@ -192,8 +212,9 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "unpack"))
+def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False,
+                        unpack: str = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -206,7 +227,7 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False):
     bn = _bn_for(M, F)
     grid = (pl.cdiv(M, bm), pl.cdiv(F, bn))
     kernel = functools.partial(_kernel, group=group, g_half=g_half,
-                               stacked=False)
+                               stacked=False, unpack=unpack)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -229,9 +250,10 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False):
     )(x2d, q4, scale)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "unpack"))
 def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                unpack: str = None):
     """Layer selected via scalar-prefetch index_map — no per-layer copy."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -256,7 +278,7 @@ def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
 
     def kernel(l_ref, x_ref, q4_ref, s_ref, o_ref):
         _kernel(x_ref, q4_ref, s_ref, o_ref, group=group, g_half=g_half,
-                stacked=True)
+                stacked=True, unpack=unpack)
 
     return pl.pallas_call(
         kernel,

@@ -72,6 +72,31 @@ def test_pallas_interpret_matches_xla():
     assert out3.shape == (2, 2, 384)
 
 
+def test_unpack_variants_bitwise_equal():
+    """The "arith" unpack (int8 AND + bf16 subtract, no int32 round trips;
+    the 1/16 folded into the hi scale row) must feed the MXU the exact
+    same bf16 values as the int32-shift unpack — outputs agree BITWISE,
+    so the on-chip A/B is purely a speed decision."""
+    from emmax_tpu.ops.int4_matmul import (_int4_matmul_pallas,
+                                           _int4_matmul_pallas_stacked)
+    rng = np.random.default_rng(7)
+    w = rng.normal(scale=0.02, size=(3, 512, 384)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(4, 512)).astype(np.float32))
+    qs = {k: jnp.asarray(v) for k, v in quantize_weight_int4_np(w).items()}
+    for layer in range(3):
+        a = _int4_matmul_pallas_stacked(x, qs["q4"], qs["scale"], layer,
+                                        interpret=True, unpack="shift")
+        b = _int4_matmul_pallas_stacked(x, qs["q4"], qs["scale"], layer,
+                                        interpret=True, unpack="arith")
+        assert jnp.array_equal(a, b), layer
+    qw = {"q4": qs["q4"][0], "scale": qs["scale"][0]}
+    a = _int4_matmul_pallas(x, qw["q4"], qw["scale"], interpret=True,
+                            unpack="shift")
+    b = _int4_matmul_pallas(x, qw["q4"], qw["scale"], interpret=True,
+                            unpack="arith")
+    assert jnp.array_equal(a, b)
+
+
 def test_int4_llama_decode_close_to_fp():
     params = init_llama_params(jax.random.PRNGKey(0), CFG)
     vlm_like = {"llm": params}
