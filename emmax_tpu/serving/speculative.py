@@ -239,14 +239,17 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
                       draft_layers: int = 0):
     """Draft/verify loop → (tokens [B, max_new], verifier steps, chk).
 
-    ``draft_layers`` > 0 switches the draft source from prompt lookup to
-    LayerSkip self-drafts (``_model_draft``): the first ``draft_layers``
-    decoder layers propose the chunk. Lookup is free but only fires on
-    repetitive text; layer drafts cost ~``k * draft_layers/n_layers`` of a
-    verifier step in weight reads and fire on anything the truncated model
-    can predict — on real trained weights early exits agree with the full
-    model on easy tokens (the majority in GCOT scaffolding). Greedy output
-    is exact either way.
+    ``draft_layers`` > 0 adds LayerSkip self-drafts (``_model_draft``) as a
+    HYBRID fallback: prompt lookup still drafts first (free — a few [B, H]
+    compares), and only when it has nothing for some row do the first
+    ``draft_layers`` decoder layers propose that row's chunk. Lookup only
+    fires on repetitive text; layer drafts cost
+    ~``k * draft_layers/n_layers`` of a verifier step in weight reads and
+    fire on anything the truncated model can predict — on real trained
+    weights early exits agree with the full model on easy tokens (the
+    majority in GCOT scaffolding). The model draft runs under ``lax.cond``,
+    so chunks where every row has a lookup hit skip its weight reads
+    entirely. Greedy output is exact either way.
 
     ``forced`` (optional [B, >= max_new + 2k+2] int32): teacher-forced
     verifier outputs for benchmarking — every verifier forward still runs
@@ -322,11 +325,20 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         (steps, tok, cache, hist, hlen, out, out_len, cur_pos, done,
          chk) = state
         t0 = cache["len"]                                          # [B]
+        draft = lookup_draft(hist, hlen, k)                        # [B, k]
         if draft_layers:
-            draft = _model_draft(dparams, dcfg, tok, cache, cur_pos,
-                                 k=k, attn_impl=attn_impl)         # [B, k]
-        else:
-            draft = lookup_draft(hist, hlen, k)                    # [B, k]
+            # hybrid: keep free lookup drafts where they fired; spend the
+            # truncated model's weight reads only on rows with no match
+            # (and skip them entirely when every row matched)
+            hit = draft[:, 0] >= 0
+
+            def with_model_draft(lk):
+                md = _model_draft(dparams, dcfg, tok, cache, cur_pos,
+                                  k=k, attn_impl=attn_impl)        # [B, k]
+                return jnp.where(hit[:, None], lk, md)
+
+            draft = jax.lax.cond(jnp.all(hit), lambda lk: lk,
+                                 with_model_draft, draft)
         chunk = jnp.concatenate([tok[:, None], draft], axis=1)    # [B, k+1]
         pos = cur_pos[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
         emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
@@ -458,12 +470,14 @@ class SpeculativeEngine(ServingEngine):
     ran). The Emma-X closed-loop prompt only changes in the
     ``CURRENT GRIPPER: [x, y]`` coordinates, which sit in the tail.
 
-    ``draft_layers`` (> 0) drafts with the model's own first N decoder
-    layers (LayerSkip self-speculation) instead of prompt lookup — fires
-    on non-repetitive text too, at ~``draft_k * N/n_layers`` of a verifier
-    step per chunk in weight reads. Needs real trained weights for useful
-    acceptance (early exits of random weights disagree with the full
-    model); output is exact regardless of draft quality.
+    ``draft_layers`` (> 0) adds the model's own first N decoder layers as a
+    hybrid draft fallback (LayerSkip self-speculation): prompt lookup still
+    drafts whenever it fires (free), and the truncated model covers the
+    rows where it has nothing — non-repetitive text, cold action bins — at
+    ~``draft_k * N/n_layers`` of a verifier step per fallback chunk in
+    weight reads. Needs real trained weights for useful acceptance (early
+    exits of random weights disagree with the full model); output is exact
+    regardless of draft quality.
     """
 
     def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,

@@ -493,6 +493,26 @@ def test_layer_draft_accepts_when_early_exit_agrees(setup):
     assert spec.last_steps <= 5, spec.last_steps
 
 
+def test_layer_draft_hybrid_keeps_lookup_accepts(setup):
+    """draft_layers>0 is a HYBRID: prompt lookup still drafts when it fires.
+    Random weights make the truncated model's proposals worthless, so a
+    repetitive teacher-forced stream only gets multi-token steps if lookup
+    stays in the loop — the old pure-LayerSkip semantics ran ~1 token/step
+    here."""
+    cfg, params, tok = setup
+    pixels = _pixels(cfg, np.random.default_rng(11), 1)
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            draft_k=4, draft_layers=1)
+    base = tok.encode("NEXT MOVEMENT: move left; " * 8)
+    n = 72  # > one ~26-byte repeat period, so lookup has history to hit
+    out = eng.generate_ids(["In: go\nOut:"], pixels,
+                           max_new_tokens=n, forced_tokens=base)
+    np.testing.assert_array_equal(out[0][:n], np.asarray(base[:n]))
+    # measured 38 steps; pure LayerSkip on random weights runs ~n steps
+    assert eng.last_steps <= 48, eng.last_steps
+
+
 def test_layer_draft_depth_validation(setup):
     cfg, params, tok = setup
     opts = GenerateOptions(eos_id=tok.eos_id)
