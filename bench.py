@@ -37,6 +37,9 @@ def _heartbeat(note: str) -> None:
 def _watchdog() -> None:
     while True:
         time.sleep(60)
+        if _progress.get("done"):
+            return   # result line already printed; never clobber it with a
+                     # zero line if teardown wedges on the relay
         if time.time() - _progress["t"] > _WATCHDOG_S:
             print(json.dumps({
                 "metric": "emma_x_7b_amortized_frame_to_action_hz",
@@ -497,7 +500,8 @@ def main():
         "decode_tokens": DECODE_TOKENS,
         "params_b": round(n_params / 1e9, 3),
         "device": str(jax.devices()[0]),
-    }))
+    }), flush=True)
+    _progress["done"] = True
 
 
 if __name__ == "__main__":

@@ -74,7 +74,8 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
 
     q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; kv_mask [B, Lk] bool or None;
     ``q_offset`` may be a traced scalar (decode step index).
-    ``impl``: "xla" | "pallas" | "auto".
+    ``impl``: "xla" | "pallas" | "pallas_fused" | "auto" ("pallas_fused"
+    folds dq into the backward's dkv kernel — identical forward).
     """
     impl = resolve_attn_impl(impl)
     if impl == "xla":

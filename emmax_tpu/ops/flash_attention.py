@@ -18,7 +18,12 @@ causal tiles above the diagonal are skipped entirely. Backward is a
 ``di = sum(o * do)`` precomputation, using the saved log-sum-exp residual;
 ``fused_bwd=True`` instead folds dQ into the dKV kernel (one extra matmul
 per tile writing per-kv-block fp32 partials, reduced by XLA afterwards)
-so s and dp are computed once instead of twice.
+so s and dp are computed once instead of twice. The partials buffer is
+``S/bk_bwd`` fp32 copies of dQ in HBM (written + re-read for the
+reduction), so the fusion's HBM cost grows linearly with sequence length
+— whether it beats the separate pass is shape-dependent; A/B with
+``scripts/bench_flash.py`` (covers the short-train and 2048 shapes)
+before preferring it.
 
 Single-token decode (Lq == 1) is HBM-bandwidth-bound, not MXU-bound — the
 wrapper routes it to the XLA path, which already streams the cache once.

@@ -180,6 +180,10 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
             stacked: bool, unpack: str = None):
     """One [BM, BN] output tile; K fully resident, statically unrolled."""
     unpack = unpack or _UNPACK
+    if unpack not in ("shift", "arith"):
+        raise ValueError(f"unpack={unpack!r}: expected 'shift' or 'arith' "
+                         "(a typo'd EMMAX_INT4_UNPACK would otherwise A/B "
+                         "'shift' against itself)")
     x = x_ref[:]                                    # [BM, D]
     d_half = g_half * group
     acc = None

@@ -801,7 +801,14 @@ def _prefill_tail_into_pool(llm_params, llm_cfg, pool, tail_ids,
     towers + ~80% of prefill compute ONCE — and batching the tails pays
     the weight reads + prefix gather once per GROUP instead of per request
     (beyond-reference; the reference re-encodes every frame,
-    ``prismatic.py:646-652``)."""
+    ``prismatic.py:646-652``).
+
+    Compile-cost note: this call specializes on the group size G (and the
+    ``contiguous`` flag), so a workload whose admission group sizes vary
+    (stragglers, page-pressure splits) compiles one executable per
+    distinct G — minutes each on a remote-compile relay. Steady workloads
+    (fixed fan-out per frame, as in the bench and the robot loop) see
+    exactly one or two."""
     stride = n_pages + 1
     G, T = tail_ids.shape
     kv, hd = llm_cfg.n_kv_heads, llm_cfg.head_dim

@@ -63,12 +63,19 @@ def main():
                 return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
             def t_of(fn):
-                out = fn(q, k, v)
-                jax.block_until_ready(out)      # compile
+                def force(out):
+                    # the relay's block_until_ready can return before remote
+                    # completion (memory: axon-relay-costs) — a host fetch of
+                    # a reduction is the only reliable completion barrier
+                    return np.asarray(jax.tree_util.tree_reduce(
+                        lambda a, b: a + b.astype(jnp.float32).sum(),
+                        out, jnp.float32(0)))
+
+                force(fn(q, k, v))              # compile
                 ts = []
                 for _ in range(args.reps):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(fn(q, k, v))
+                    force(fn(q, k, v))
                     ts.append(time.perf_counter() - t0)
                 return float(np.median(ts))
 

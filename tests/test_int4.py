@@ -97,6 +97,21 @@ def test_unpack_variants_bitwise_equal():
     assert jnp.array_equal(a, b)
 
 
+def test_unpack_unknown_value_raises():
+    """A typo'd EMMAX_INT4_UNPACK must fail loudly, not silently A/B
+    'shift' against itself."""
+    import pytest
+
+    from emmax_tpu.ops.int4_matmul import _int4_matmul_pallas
+    rng = np.random.default_rng(8)
+    w = rng.normal(scale=0.02, size=(512, 384)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(4, 512)).astype(np.float32))
+    qw = {k: jnp.asarray(v) for k, v in quantize_weight_int4_np(w).items()}
+    with pytest.raises(ValueError, match="unpack"):
+        _int4_matmul_pallas(x, qw["q4"], qw["scale"], interpret=True,
+                            unpack="airth")
+
+
 def test_int4_llama_decode_close_to_fp():
     params = init_llama_params(jax.random.PRNGKey(0), CFG)
     vlm_like = {"llm": params}
