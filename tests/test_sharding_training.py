@@ -174,6 +174,39 @@ def test_sharded_step_matches_single_device(mesh_shape):
     np.testing.assert_allclose(gnorm, ref_gnorm, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 4, 2)])
+def test_grad_accum_under_mesh_matches_single_device(mesh_shape):
+    """Gradient accumulation (scan-based) composed with GSPMD sharding:
+    the accumulated sharded step must match the single-device full-batch
+    step — the accum scan carries grads whose shardings must survive the
+    carry (and the scan body holds no sharding constraints, per the
+    jax 0.9 miscompile rule pinned above)."""
+    cfg = tiny_vlm_config()
+    rng = np.random.default_rng(3)
+    host_batch = _make_batch(cfg, rng, B=4)
+
+    def one_step(mesh_shape, accum):
+        mesh = make_mesh(mesh_shape,
+                         devices=jax.devices()[:int(np.prod(mesh_shape))])
+        params = shard_params(init_vlm_params(jax.random.PRNGKey(0), cfg),
+                              mesh)
+        tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                               max_grad_norm=1.0,
+                               lr_scheduler_type="constant",
+                               total_steps=10, stage="vla-full-train")
+        state = create_train_state(params, tx)
+        step = jit_train_step(
+            make_train_step(cfg, tx, remat=True, compute_dtype=jnp.float32,
+                            grad_accum_steps=accum), mesh=mesh)
+        _, m = step(state, shard_batch(host_batch, mesh))
+        return float(m["loss"]), float(m["grad_norm"])
+
+    ref_loss, ref_gnorm = one_step((1, 1, 1), accum=1)
+    loss, gnorm = one_step(mesh_shape, accum=2)
+    np.testing.assert_allclose(loss, ref_loss, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(gnorm, ref_gnorm, rtol=2e-4, atol=1e-5)
+
+
 def test_freeze_mask_grad_subset_matches_masked_path():
     """make_train_step(freeze_mask=...) must produce the same loss and the
     same parameter updates as the plain masked path, while never
