@@ -320,6 +320,39 @@ class ServingEngine:
             quantized_cache=self.quantized_cache)
         return np.asarray(out)
 
+    def warmup(self, example_prompts, pixel_values=None,
+               max_new_tokens: Optional[int] = None,
+               batch_sizes=(1,)) -> list:
+        """Pre-compile every (batch, bucket, max_new) executable this
+        deployment will hit, by running throwaway generations through the
+        exact serving path. On a remote-compile TPU relay a lazy first
+        compile costs MINUTES in the middle of the first robot episode —
+        pay it before the closed loop starts (the reference has no
+        compile-time concept; this is the XLA-serving counterpart of its
+        model-load warmup). ``example_prompts``: representative prompt
+        strings (one per distinct length bucket to warm).
+        ``pixel_values``: optional tower input (zeros are synthesized
+        otherwise — also compiles the ViT encode). Returns the warmed
+        (batch, bucket) combinations."""
+        max_new = (self.options.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
+        if pixel_values is None:
+            pixel_values = {name: jnp.zeros((1, v.img_size, v.img_size, 3),
+                                            jnp.float32)
+                            for name, v in self.cfg.vision}
+        warmed = []
+        for b in batch_sizes:
+            pv = {k: (jnp.broadcast_to(v[:1], (b,) + v.shape[1:])
+                      if v.shape[0] != b else v)
+                  for k, v in pixel_values.items()}
+            for p in example_prompts:
+                prompts = [p] * b
+                bucket = pick_bucket(len(self.tokenizer.encode(p)),
+                                     self.buckets)
+                self.generate_ids(prompts, pv, max_new_tokens=max_new)
+                warmed.append((b, bucket))
+        return warmed
+
     def first_token_probs(self, prompts, pixel_values,
                           candidate_ids) -> np.ndarray:
         """Normalized probabilities of candidate first generated tokens

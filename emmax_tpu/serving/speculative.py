@@ -506,6 +506,57 @@ class SpeculativeEngine(ServingEngine):
                 "(serving.quant.quantize_vlm_params_np), shard them over a "
                 "mesh, or pass force_bf16_spec=True to override.")
 
+    def warmup(self, example_prompts, pixel_values=None,
+               max_new_tokens: Optional[int] = None, batch_sizes=(1,),
+               draft_context_len: int = 0) -> list:
+        """Pre-compile the speculative runners (see ``ServingEngine.warmup``).
+
+        Beyond the base engine's (batch, bucket) grid this warms, per
+        combination: the fused full-prefill runner; the prefix-KV
+        tail-refresh runner (when ``prefix_tail`` > 0 — the second call on
+        identical caller-managed patches takes the tail path); and, when
+        ``draft_context_len`` > 0, the draft-context-carrying variants of
+        both (context is bucketed to 128-multiples, so one length per
+        128-bucket suffices). The first closed-loop frame then pays zero
+        lazy compiles."""
+        from emmax_tpu.serving.engine import encode_frame, pick_bucket
+        max_new = (self.options.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
+        if pixel_values is None:
+            pixel_values = {name: jnp.zeros((1, v.img_size, v.img_size, 3),
+                                            jnp.float32)
+                            for name, v in self.cfg.vision}
+        ctx = (np.zeros((draft_context_len,), np.int32)
+               if draft_context_len else None)
+        warmed = []
+        for b in batch_sizes:
+            pv = {k: (jnp.broadcast_to(v[:1], (b,) + v.shape[1:])
+                      if v.shape[0] != b else v)
+                  for k, v in pixel_values.items()}
+            patches = {"patches": encode_frame(self.params, self.cfg, pv,
+                                               attn_impl=self.attn_impl)}
+            for p in example_prompts:
+                prompts = [p] * b
+                bucket = pick_bucket(len(self.tokenizer.encode(p)),
+                                     self.buckets)
+                kw = ({} if ctx is None
+                      else {"draft_context": np.tile(ctx[None], (b, 1))})
+                self.generate_ids(prompts, patches, max_new_tokens=max_new,
+                                  **kw)
+                warmed.append((b, bucket, "full"))
+                tail_ok = (self.prefix_tail > 0 and not self._bf16_fallback
+                           and len(self.tokenizer.encode(p))
+                           >= self.prefix_tail)
+                if tail_ok:
+                    # identical prompt + identical patches object => the
+                    # prefix is reusable and the TAIL runner compiles
+                    self.generate_ids(prompts, patches,
+                                      max_new_tokens=max_new, **kw)
+                    assert self.last_prefill == "tail", self.last_prefill
+                    warmed.append((b, bucket, "tail"))
+        self._prefix = None   # drop warmup state; frame 0 prefills fully
+        return warmed
+
     def _prefix_reusable(self, ids, mask, vision_input) -> bool:
         pre = self._prefix
         t = self.prefix_tail

@@ -522,3 +522,38 @@ def test_layer_draft_depth_validation(setup):
     with pytest.raises(ValueError, match="draft_layers"):
         spec.generate_ids(["In: x\nOut:"], _pixels(cfg, rng, 1),
                           max_new_tokens=4)
+
+
+# ------------------------------------------------------------- warmup
+
+def test_warmup_compiles_full_and_tail_paths(setup):
+    """warmup() must exercise exactly the executables the closed loop hits:
+    the full runner, the tail runner (prefix_tail), and the ctx-carrying
+    variants — and leave the engine prefix-free so frame 0 prefills fully."""
+    cfg, params, tok = setup
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            draft_k=3, prefix_tail=4)
+    warmed = eng.warmup(["In: do the long thing now\nOut:"],
+                        max_new_tokens=6, draft_context_len=16)
+    kinds = [w[2] for w in warmed]
+    assert kinds == ["full", "tail"]
+    assert eng._prefix is None
+    # a real call after warmup behaves normally (full prefill on frame 0)
+    rng = np.random.default_rng(12)
+    out = eng.generate_ids(["In: do the long thing now\nOut:"],
+                           _pixels(cfg, rng, 1), max_new_tokens=6)
+    assert eng.last_prefill == "full"
+    assert out.shape == (1, 6)
+
+
+def test_warmup_base_engine_matrix(setup):
+    cfg, params, tok = setup
+    eng = ServingEngine(cfg, params, tok,
+                        options=GenerateOptions(eos_id=tok.eos_id))
+    warmed = eng.warmup(["In: a\nOut:", "In: " + "x " * 40 + "\nOut:"],
+                        max_new_tokens=4, batch_sizes=(1, 2))
+    assert len(warmed) == 4                      # 2 prompts x 2 batches
+    assert {b for b, _ in warmed} == {1, 2}
+    buckets = {bk for _, bk in warmed}
+    assert len(buckets) == 2                     # two distinct buckets
