@@ -557,3 +557,41 @@ def test_warmup_base_engine_matrix(setup):
     assert {b for b, _ in warmed} == {1, 2}
     buckets = {bk for _, bk in warmed}
     assert len(buckets) == 2                     # two distinct buckets
+
+
+def test_session_seeded_episode_skips_cold_start(setup):
+    """Closed-loop session pattern (bench.py closedloop_session_hz): a new
+    episode seeded with the PREVIOUS episode's final output as draft
+    context drafts its first frame from that history (here the streams
+    repeat across frames, so the whole frame is draftable; on real GCOT
+    only the text scaffold is — fresh action bins still crawl) and the
+    teacher-forced stream stays exact."""
+    from emmax_tpu.serving.engine import VisionCache
+
+    cfg, params, tok = setup
+    opts = GenerateOptions(eos_id=tok.eos_id)
+    pixels = _pixels(cfg, np.random.default_rng(3), 1)
+    frames = [np.full((64, 64, 3), f, np.uint8) for f in range(4)]
+    stream = np.asarray(
+        tok.encode("move forward 3 steps; close gripper; " * 3)[:24],
+        np.int32)
+    eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=4,
+                            vision_cache=VisionCache(capacity=2,
+                                                     threshold=0.05),
+                            prefix_tail=8)
+
+    def episode(seed):
+        prev, steps = seed, []
+        for f in range(4):
+            out = eng.generate_ids(["In: go\nOut:"], pixels,
+                                   max_new_tokens=24, forced_tokens=stream,
+                                   draft_context=prev, frame_key=frames[f])
+            prev = np.asarray(out[0], np.int32)
+            steps.append(eng.last_steps)
+        return steps, prev
+
+    s1, last = episode(None)                 # episode 1: cold frame 0
+    s2, last2 = episode(last)                # episode 2: seeded from ep 1
+    np.testing.assert_array_equal(last2[:24], stream)   # still exact
+    assert s2[0] <= max(s1[1:]), (s1, s2)    # seeded frame 0 ≈ warm frame
+    assert sum(s2) < sum(s1), (s1, s2)       # no cold-start crawl
