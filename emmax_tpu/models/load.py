@@ -143,14 +143,24 @@ def convert_prismatic_pt(pt_path, cfg: VLMConfig):
 # --- public API --------------------------------------------------------------
 
 def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
-         init_if_missing: bool = False, quantize_int8: bool = False):
+         init_if_missing: bool = False, quantize_int8: bool = False,
+         quantize: str = None):
     """Load a VLM. Returns (cfg, params, tokenizer, transforms, llm_family).
 
     ``model_id_or_path`` may be a registered model id (fresh init — no hub
-    downloads in this environment) or a run directory. ``quantize_int8``
-    applies host-side weight-only int8 quantization to the LLM (the
-    reference's load_in_8bit equivalent, ``verify_openvla.py:31-60``).
+    downloads in this environment) or a run directory. ``quantize`` applies
+    host-side weight-only quantization to the LLM: ``"int8"`` (per-channel;
+    the reference's load_in_8bit equivalent, ``verify_openvla.py:31-60``)
+    or ``"int4"`` (nibble-packed group-128, the Pallas dequant kernel — the
+    reference's load_in_4bit/bitsandbytes role and the single-chip serving
+    headline config). Host-side so the bf16 and quantized trees never
+    coexist in HBM. ``quantize_int8=True`` is the back-compat spelling of
+    ``quantize="int8"``.
     """
+    if quantize_int8:
+        quantize = quantize or "int8"
+    if quantize not in (None, "int8", "int4"):
+        raise ValueError(f"quantize={quantize!r}: expected 'int8' or 'int4'")
     path = Path(str(model_id_or_path))
     if path.is_dir():
         blob = json.loads((path / "config.json").read_text())
@@ -202,7 +212,7 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
         params = init_vlm_params(jax.random.PRNGKey(0), cfg, dtype)
         transforms = get_image_transforms(mc.vision_backbone_id,
                                           mc.image_resize_strategy)
-    if quantize_int8:
+    if quantize is not None:
         import numpy as np
 
         from emmax_tpu.serving.quant import quantize_vlm_params_np
@@ -210,21 +220,27 @@ def load(model_id_or_path, dtype=jnp.bfloat16, tokenizer_path=None,
         host_params = jax.tree_util.tree_map(np.asarray, params)
         del params
         params = jax.tree_util.tree_map(
-            jnp.asarray, quantize_vlm_params_np(host_params))
+            jnp.asarray,
+            quantize_vlm_params_np(host_params,
+                                   bits=4 if quantize == "int4" else 8))
     tokenizer = load_tokenizer(tokenizer_path)
     return cfg, params, tokenizer, transforms, family
 
 
 def load_vla(path, dtype=jnp.bfloat16, tokenizer_path=None,
              init_if_missing: bool = False, attn_impl: str = "auto",
-             quantize_int8: bool = False, speculative: bool = False):
+             quantize_int8: bool = False, speculative: bool = False,
+             quantize: str = None):
     """Load a VLA policy (run dir with config + stats sidecars) →
-    ``EmmaXVLA`` (reference: ``load_vla``, ``models/load.py:121-228``)."""
+    ``EmmaXVLA`` (reference: ``load_vla``, ``models/load.py:121-228``).
+    ``quantize="int8"|"int4"`` selects weight-only serving quantization
+    (see :func:`load`)."""
     from emmax_tpu.models.vla import EmmaXVLA
 
     cfg, params, tokenizer, transforms, family = load(
         path, dtype=dtype, tokenizer_path=tokenizer_path,
-        init_if_missing=init_if_missing, quantize_int8=quantize_int8)
+        init_if_missing=init_if_missing, quantize_int8=quantize_int8,
+        quantize=quantize)
     norm_stats, proprio_stats = {}, None
     p = Path(str(path))
     if p.is_dir() and (p / "config.json").exists():

@@ -357,9 +357,11 @@ def _paged_step_body(llm_params, llm_cfg, pool, *, page_size: int,
             else:
                 k_in, v_in = k_pages, v_pages
                 qdt = k_pages.dtype
+            # the upstream kernel computes softmax(q·k) with NO 1/sqrt(hd)
+            # factor (unlike multi_head_attention) — pre-scale q in f32
             attn = paged_attention(
-                q[:, 0].astype(qdt), k_in, v_in,
-                lengths, table_l,
+                (q[:, 0].astype(jnp.float32) * hd ** -0.5).astype(qdt),
+                k_in, v_in, lengths, table_l,
                 pages_per_compute_block=_pick_ppcb(MP))
             attn = attn[:, None].astype(h.dtype)        # [B, 1, H, hd]
         elif paged_attn == "gather2":

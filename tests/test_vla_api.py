@@ -269,3 +269,34 @@ def test_closed_loop_speculative_vla_matches_plain():
     assert got2 == ref2
     assert fast.engine.vision_cache.misses == misses_before + 1
     assert fast.engine.last_prefill == "full"
+
+
+@pytest.mark.parametrize("quantize", ["int8", "int4"])
+def test_load_vla_quantized(tmp_path, quantize):
+    """`load_vla(quantize=...)` returns a serving-ready policy whose LLM
+    weights are the quantized dict leaves (the reference's
+    load_in_8bit/load_in_4bit role, verify_openvla.py:31-60) and whose
+    decode still produces valid actions."""
+    from emmax_tpu.models.load import load_vla, save_pretrained
+
+    cfg = tiny_vlm_config(vocab_size=1024)
+    params = init_vlm_params(jax.random.PRNGKey(1), cfg)
+    stats = {"bridge_orig": {"action": {
+        "q01": [-0.1] * 7, "q99": [0.1] * 7, "mask": [True] * 6 + [False]}}}
+    save_pretrained(tmp_path / "run",
+                    {"vision_backbone_id": "tiny", "llm_backbone_id": "tiny",
+                     "arch_specifier": "no-align+gelu-mlp",
+                     "text_config": {"vocab_size": 1024}},
+                    params, dataset_statistics=stats)
+    vla = load_vla(tmp_path / "run", quantize=quantize)
+    key = "q4" if quantize == "int4" else "q8"
+    wq = vla.engine.params["llm"]["layers"]["wq"]
+    assert isinstance(wq, dict) and key in wq and "scale" in wq
+    rng = np.random.default_rng(3)
+    actions, text = vla.generate_actions(_frame(rng), "In: go\nOut:",
+                                         type="act", max_new_tokens=12)
+    assert actions[0].shape == (7,)
+
+    # back-compat spelling still works and maps to int8
+    vla8 = load_vla(tmp_path / "run", quantize_int8=True)
+    assert "q8" in vla8.engine.params["llm"]["layers"]["wq"]
