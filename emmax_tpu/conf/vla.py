@@ -52,7 +52,11 @@ class VLAConfig(ChoiceRegistry):
     # conf/vla.py:51 + training/strategies/fsdp.py:84-93).
     train_strategy: str = "fsdp-full-shard"
     mesh_shape: Tuple[int, ...] = (1, -1, 1)   # (replica, fsdp, tensor); -1 = rest
-    remat_policy: str = "block"                # none | block | full
+    # none | block | full | dots ("dots" = jax dots_saveable: keep MXU
+    # outputs, recompute only elementwise ops in the backward — faster
+    # than block/full when HBM allows; block and full coincide here since
+    # the checkpointed unit IS the scanned decoder layer)
+    remat_policy: str = "block"
 
     # Mixed precision
     enable_gradient_checkpointing: bool = True

@@ -232,7 +232,19 @@ def llama_forward(
             h = _layer(h, xs, cos, sin, mask, cfg, attn_impl)
             return h, None
 
-        body_fn = jax.checkpoint(body) if remat else body
+        # remat: False/"none" = store all layer activations (fastest when
+        # HBM allows — no bwd recompute); True/"full" = reference-style
+        # full activation checkpointing (fsdp.py:174-186 semantics: bwd
+        # re-runs each layer's forward); "dots" = TPU-native middle ground
+        # (save MXU outputs, recompute only the cheap VPU elementwise ops —
+        # trades ~sum-of-dot-outputs HBM per layer for skipping the matmul
+        # recompute, which is most of the remat FLOP overhead).
+        if remat and remat != "none":
+            policy = (jax.checkpoint_policies.dots_saveable
+                      if remat == "dots" else None)
+            body_fn = jax.checkpoint(body, policy=policy)
+        else:
+            body_fn = body
         h, _ = jax.lax.scan(body_fn, inputs_embeds, params["layers"])
     else:
         S = kv_cache["k"].shape[2]

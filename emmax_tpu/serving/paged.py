@@ -416,7 +416,8 @@ _paged_decode_step = partial(jax.jit, static_argnames=(
 
 
 def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
-                             n_pages: int, burst: int, eos_id: int):
+                             n_pages: int, burst: int, eos_id: int,
+                             uniform_write: bool = False):
     """Burst decode against a CONTIGUOUS per-slot scratch cache.
 
     The irregular work — gathering each slot's pages into a dense
@@ -454,7 +455,7 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         vsc = to_scratch(pool["v_scale"])[..., 0]
     opd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
-    def step(carry, _):
+    def step(carry, it):
         if quantized:
             kc, vc, ksc, vsc, meta = carry
         else:
@@ -463,6 +464,16 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         emb = embed_tokens(llm_params, cur[:, None])    # [B, 1, D]
         cos, sin = rope_cos_sin(t[:, None], hd, llm_cfg.rope_theta)
         t_w = jnp.minimum(t, S - 1)                     # clamped write slot
+        # uniform fast path (static): when every slot entered the burst at
+        # the SAME length (the host checks its mirrors — true for batched
+        # equal-length admissions, i.e. the common case), every row's write
+        # offset this step is len0[0] + it: rows that go inactive mid-burst
+        # freeze `t`, so len0[0] + it > t for them and the junk row lands
+        # PAST their length — excluded by the `pos < t + 1` mask below and
+        # junk-tolerated by the writeback. That turns the per-row fori_loop
+        # of B tiny DUS ops (B x 4 bufs x L x burst per burst) into ONE
+        # batched DUS per buffer per layer per step.
+        w_u = jnp.minimum(len0[0] + it, S - 1)
         pos = jnp.arange(S)[None]                       # [1, S]
         lengths = t + 1
 
@@ -482,27 +493,41 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
                 k_row, ks_row = _row_quantize(k_row)
                 v_row, vs_row = _row_quantize(v_row)
 
-            def wr(buf, rows, b, extra_dim):
-                val = rows[:, b].reshape(kv, 1, 1, 1, *extra_dim)
-                return jax.lax.dynamic_update_slice(
-                    buf, val.astype(buf.dtype),
-                    (0, i, b, t_w[b]) + (0,) * len(extra_dim))
+            if uniform_write:
+                def wru(buf, rows, extra_dim):
+                    # rows [KV, B, *extra] -> one DUS over the whole batch
+                    val = rows.reshape(kv, 1, B, 1, *extra_dim)
+                    return jax.lax.dynamic_update_slice(
+                        buf, val.astype(buf.dtype),
+                        (0, i, 0, w_u) + (0,) * len(extra_dim))
 
-            def wbody(b, bufs):
                 if quantized:
-                    kc, vc, ksc, vsc = bufs
-                    ksc = wr(ksc, ks_row[..., 0], b, ())
-                    vsc = wr(vsc, vs_row[..., 0], b, ())
-                    return (wr(kc, k_row, b, (hd,)), wr(vc, v_row, b, (hd,)),
-                            ksc, vsc)
-                kc, vc = bufs
-                return (wr(kc, k_row, b, (hd,)), wr(vc, v_row, b, (hd,)))
-
-            if quantized:
-                kc, vc, ksc, vsc = jax.lax.fori_loop(
-                    0, B, wbody, (kc, vc, ksc, vsc))
+                    ksc = wru(ksc, ks_row[..., 0], ())
+                    vsc = wru(vsc, vs_row[..., 0], ())
+                kc = wru(kc, k_row, (hd,))
+                vc = wru(vc, v_row, (hd,))
             else:
-                kc, vc = jax.lax.fori_loop(0, B, wbody, (kc, vc))
+                def wr(buf, rows, b, extra_dim):
+                    val = rows[:, b].reshape(kv, 1, 1, 1, *extra_dim)
+                    return jax.lax.dynamic_update_slice(
+                        buf, val.astype(buf.dtype),
+                        (0, i, b, t_w[b]) + (0,) * len(extra_dim))
+
+                def wbody(b, bufs):
+                    if quantized:
+                        kc, vc, ksc, vsc = bufs
+                        ksc = wr(ksc, ks_row[..., 0], b, ())
+                        vsc = wr(vsc, vs_row[..., 0], b, ())
+                        return (wr(kc, k_row, b, (hd,)),
+                                wr(vc, v_row, b, (hd,)), ksc, vsc)
+                    kc, vc = bufs
+                    return (wr(kc, k_row, b, (hd,)), wr(vc, v_row, b, (hd,)))
+
+                if quantized:
+                    kc, vc, ksc, vsc = jax.lax.fori_loop(
+                        0, B, wbody, (kc, vc, ksc, vsc))
+                else:
+                    kc, vc = jax.lax.fori_loop(0, B, wbody, (kc, vc))
 
             q = apply_rope(mm(x, p["wq"]).reshape(B, 1, llm_cfg.n_heads, hd),
                            cos, sin)
@@ -550,13 +575,13 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         return (kc, vc, meta), emitted
 
     meta0 = (pool["active"], pool["cur"], len0, pool["remaining"])
+    steps = jnp.arange(burst, dtype=jnp.int32)
     if quantized:
         carry, emitted = jax.lax.scan(
-            step, (kc, vc, ksc, vsc, meta0), None, length=burst)
+            step, (kc, vc, ksc, vsc, meta0), steps)
         kc, vc, ksc, vsc, meta = carry
     else:
-        carry, emitted = jax.lax.scan(step, (kc, vc, meta0), None,
-                                      length=burst)
+        carry, emitted = jax.lax.scan(step, (kc, vc, meta0), steps)
         kc, vc, meta = carry
     active, cur, t_fin, remaining = meta
 
@@ -603,11 +628,11 @@ def _burstdense_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
 
 @partial(jax.jit, donate_argnums=(2,),
          static_argnames=("llm_cfg", "page_size", "n_pages",
-                          "burst", "eos_id", "paged_attn"))
+                          "burst", "eos_id", "paged_attn", "uniform_write"))
 def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
                         n_pages: int, burst: int, eos_id: int,
                         paged_attn: str = "gather", page_owner=None,
-                        page_pos=None):
+                        page_pos=None, uniform_write: bool = False):
     """``burst`` greedy tokens for all active slots inside ONE jitted scan
     (one dispatch + one fetch per burst — the remote-TPU relay charges
     ~28 ms per device→host fetch, so per-token stepping is round-trip
@@ -622,7 +647,8 @@ def _paged_decode_burst(llm_params, llm_cfg, pool, *, page_size: int,
         return _burstdense_decode_burst(llm_params, llm_cfg, pool,
                                         page_size=page_size,
                                         n_pages=n_pages, burst=burst,
-                                        eos_id=eos_id)
+                                        eos_id=eos_id,
+                                        uniform_write=uniform_write)
 
     def step(carry, _):
         pool = carry
@@ -954,7 +980,8 @@ class PagedServingEngine:
                  num_slots: int = 8, n_pages: int = 64, page_size: int = 64,
                  max_pages_per_slot: int = 16, attn_impl: str = "xla",
                  burst: int = 8, paged_attn: str = "auto",
-                 quantized_cache: bool = False) -> None:
+                 quantized_cache: bool = False,
+                 uniform_burst_writes: bool = True) -> None:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -975,6 +1002,10 @@ class PagedServingEngine:
             # stays opt-in for very-high-page-count regimes.
             paged_attn = "burstdense"
         self.paged_attn = paged_attn
+        # burstdense fast path: when every slot enters a burst at the same
+        # length (host-checked), new-row writes batch into one DUS per
+        # buffer per layer (see _burstdense_decode_burst). Disable to A/B.
+        self.uniform_burst_writes = uniform_burst_writes
         compute_dtype = params["llm"]["embed"].dtype
         self.pool = init_paged_pool(
             cfg, n_pages=n_pages, page_size=page_size, num_slots=num_slots,
@@ -1243,11 +1274,19 @@ class PagedServingEngine:
         if self.paged_attn == "poolmask":
             ownership = {"page_owner": jnp.asarray(self._page_owner),
                          "page_pos": jnp.asarray(self._page_pos)}
+        # uniform-write fast path is safe only when the write base
+        # (device len of slot 0) is live and equal across ALL slots —
+        # i.e. every slot is running at the same length (batched
+        # equal-length admission, nothing finished yet)
+        uniform = (self.uniform_burst_writes
+                   and self.paged_attn == "burstdense"
+                   and len(self.running) == self.num_slots
+                   and bool(np.all(self._len == self._len[0])))
         self.pool, packed = _paged_decode_burst(
             self.params["llm"], self.cfg.llm, self.pool,
             page_size=self.page_size, n_pages=self.n_pages,
             burst=self.burst, eos_id=self.tokenizer.eos_id,
-            paged_attn=self.paged_attn, **ownership)
+            paged_attn=self.paged_attn, uniform_write=uniform, **ownership)
         packed = np.asarray(packed)          # ONE fetch per burst
         emitted = packed[:, :self.burst]
         active_after = packed[:, self.burst].astype(bool)

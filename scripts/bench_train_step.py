@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--text_len", type=int, default=320)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "dots", "none"],
+                    help="layer-scan checkpointing: full = reference-style "
+                         "activation remat; dots = save MXU outputs, "
+                         "recompute elementwise only; none = store all "
+                         "activations (fastest if it fits HBM)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +106,8 @@ def main():
     jax.block_until_ready(state.opt_state)
     mark("train state ready")
     step = jit_train_step(make_train_step(
-        cfg, tx, attn_impl=args.attn, remat=True,
+        cfg, tx, attn_impl=args.attn,
+        remat=False if args.remat == "none" else args.remat,
         # frozen-vision stages skip the tower backward entirely; the
         # freeze mask excludes fully-frozen leaves from differentiation so
         # no frozen-param-sized gradient tree is ever materialized
@@ -161,7 +168,9 @@ def main():
            + vis_bwd
            + 4 * n_proj * B * P)
     attn = 4 * B * F * F * cfg.llm.dim    # qk + av, fwd
-    remat_extra = fwd                      # scanned layers recompute fwd
+    # remat recompute actually executed: full = the whole layer fwd;
+    # dots = elementwise only (negligible matmul FLOPs); none = nothing
+    remat_extra = fwd if args.remat == "full" else 0.0
     flops_6nd = 6 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
     flops_hw = fwd + bwd + remat_extra + 3 * attn
 
@@ -170,6 +179,7 @@ def main():
         "config": args.config,
         "stage": stage,
         "attn": args.attn,
+        "remat": args.remat,
         "batch": B,
         "fused_seq": F,
         "params_b": round(n_params / 1e9, 3),

@@ -162,6 +162,33 @@ def test_paged_attn_variants_token_parity(setup, variant, quantized):
         assert got == base, (variant, quantized, base, got)
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_burstdense_uniform_write_fast_path_exact(setup, quantized):
+    """The uniform-write fast path (all slots enter the burst at equal
+    length -> one batched DUS per buffer per layer instead of B per-row
+    DUS) must emit EXACTLY the tokens of the per-row path — identical
+    values land at identical offsets; only the write granularity changes.
+    Unequal max_new forces one row to finish MID-burst (its junk rows must
+    stay masked), and a second admission after lengths diverge exercises
+    the auto-fallback to the per-row path."""
+    cfg, params, tok, pixels = setup
+    prompts = ["In: pick up the cup\nOut:", "In: wipe the tables\nOut:"]
+    assert len(prompts[0]) == len(prompts[1])  # equal fused lengths
+
+    def run(uniform):
+        eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=16,
+                                 page_size=32, max_pages_per_slot=8,
+                                 burst=8, paged_attn="burstdense",
+                                 quantized_cache=quantized,
+                                 uniform_burst_writes=uniform)
+        rids = [eng.submit(p, pixels(60 + i), max_new_tokens=4 + 8 * i)
+                for i, p in enumerate(prompts)]
+        done = eng.run_until_complete()
+        return [done[r] for r in rids]
+
+    assert run(True) == run(False)
+
+
 def test_shared_prefix_admission_matches_solo(setup):
     """submit_shared: N same-frame queries share the BOS+patch-block KV in
     refcounted pages; tails prefill individually. Tokens must match each

@@ -75,6 +75,39 @@ def test_sharded_train_step_runs_and_learns(mesh_shape):
     assert int(state.step) == 2
 
 
+def test_remat_policies_match_no_remat():
+    """remat=True (full activation checkpointing) and remat="dots" (save
+    MXU outputs, recompute elementwise only) are pure memory/FLOP trades —
+    loss and resulting params must match the no-remat step exactly in f32."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1e9, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-full-train")
+    rng = np.random.default_rng(3)
+    batch = _make_batch(cfg, rng, B=2)
+    s0 = create_train_state(params, tx)
+
+    def run(remat):
+        fn = jax.jit(make_train_step(cfg, tx, remat=remat,
+                                     compute_dtype=jnp.float32))
+        s, m = fn(s0, batch)
+        return float(m["loss"]), s.params
+
+    loss_none, p_none = run(False)
+    for mode in (True, "dots"):
+        loss_r, p_r = run(mode)
+        assert loss_r == pytest.approx(loss_none, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_none),
+                        jax.tree_util.tree_leaves(p_r)):
+            # remat recompute reorders float ops -> ulp-level grad diffs,
+            # which Adam's normalization amplifies; semantic parity is
+            # pinned by the exact-loss check above
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=2e-3, atol=1e-4)
+
+
 def test_grad_accumulation_matches_full_batch():
     cfg = tiny_vlm_config()
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)

@@ -212,7 +212,9 @@ def main(cfg: TrainConfig) -> None:
         compute_dtype = jnp.float32
     step_fn = jit_train_step(make_train_step(
         vlm_cfg, tx, attn_impl=cfg.attn_impl,
-        remat=vla.enable_gradient_checkpointing,
+        remat=(False if (not vla.enable_gradient_checkpointing
+                         or vla.remat_policy == "none")
+               else "dots" if vla.remat_policy == "dots" else True),
         compute_dtype=compute_dtype, transforms=transforms,
         stop_vision_gradient=vla.freeze_vision_backbone,
         # fully-frozen leaves are excluded from differentiation (no
