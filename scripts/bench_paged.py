@@ -72,13 +72,15 @@ def main():
     args = ap.parse_args()
     variants = args.variants.split(",")
 
-    def run_dense():
+    def run_dense(quantized_cache=False):
         # the dense one-shot comparator: same int4 weights, same 6 requests
-        # decoded as ONE batch with per-request reserved cache (bf16 KV)
+        # decoded as ONE batch with per-request reserved cache (bf16 KV, or
+        # int8 KV for the equal-cache-precision comparison)
         from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
 
         eng = ServingEngine(cfg, q4params, tok,
-                            options=GenerateOptions(eos_id=tok.eos_id))
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            quantized_cache=quantized_cache)
         imgs = {k: jnp.concatenate([v] * 6, axis=0) for k, v in pixels.items()}
         t0 = time.perf_counter()
         out = eng.generate_ids([prompt] * 6, imgs, max_new_tokens=64)
@@ -87,15 +89,17 @@ def main():
 
     out = {}
     for variant in variants:
-        if variant == "dense":
-            run_dense()                          # warmup/compile
-            toks, t = run_dense()
+        if variant.startswith("dense"):
+            q8 = variant == "dense_int8kv"
+            run_dense(q8)                        # warmup/compile
+            toks, t = run_dense(q8)
         else:
             uniform = variant == "uniform"
             run_paged(uniform)                   # warmup/compile
             toks, t = run_paged(uniform)
-        out[f"paged_6req_agg_tok_s_{variant}" if variant != "dense"
-            else "dense_6req_agg_tok_s"] = round(toks / t, 1)
+        key = (f"{variant}_6req_agg_tok_s" if variant.startswith("dense")
+               else f"paged_6req_agg_tok_s_{variant}")
+        out[key] = round(toks / t, 1)
         out[f"t_{variant}_s"] = round(t, 3)
         print(json.dumps(out), flush=True)
 
