@@ -143,11 +143,48 @@ def batch_sharding(mesh: Mesh, ndim: int = 2,
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    # ONE batched device_put for the whole tree: per-leaf puts cost one
-    # relay dispatch each (~28 ms on the remote-TPU relay), every step
+    """Place a host batch onto the mesh.
+
+    Single-process: ONE batched device_put for the whole tree (per-leaf puts
+    cost one relay dispatch each, ~28 ms on the remote-TPU relay, every step).
+
+    Multi-process (``jax.process_count() > 1``): each process passes its OWN
+    per-host shard of the global batch — produced by the loaders'
+    ``num_shards=process_count, shard_index=process_index`` wiring
+    (``vla-scripts/train.py``, ``scripts/pretrain.py``) — and the shards are
+    assembled into one global ``jax.Array`` with
+    ``jax.make_array_from_process_local_data``. This is the TPU-native
+    replacement for the reference's per-rank ``DistributedSampler`` feeding
+    (``/root/reference/prismatic/training/strategies/base_strategy.py:507-520``).
+    """
+    if jax.process_count() > 1:
+        return _shard_batch_multiprocess(batch, mesh)
     shardings = jax.tree_util.tree_map(
         lambda a: batch_sharding(mesh, getattr(a, "ndim", 1),
                                  a.shape[0] if getattr(a, "ndim", 0)
                                  else None),
         batch)
     return jax.device_put(batch, shardings)
+
+
+def _shard_batch_multiprocess(batch: Any, mesh: Mesh) -> Any:
+    nproc = jax.process_count()
+    dp = mesh.shape["replica"] * mesh.shape["fsdp"]
+
+    def make(a):
+        a = np.asarray(a)
+        if a.ndim == 0:
+            # scalar leaf (identical on every host): fully replicated
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), a, a.shape)
+        global_b = a.shape[0] * nproc
+        if global_b % dp != 0:
+            raise ValueError(
+                f"multi-process batch: global batch {global_b} "
+                f"(= {a.shape[0]} local x {nproc} processes) must divide the "
+                f"data-parallel mesh extent {dp}; pad the per-host batch")
+        sharding = batch_sharding(mesh, a.ndim, global_b)
+        return jax.make_array_from_process_local_data(
+            sharding, a, (global_b,) + a.shape[1:])
+
+    return jax.tree_util.tree_map(make, batch)

@@ -172,14 +172,17 @@ def test_frozen_params_unchanged_after_step():
         np.asarray(params["llm"]["layers"]["wq"]),
         np.asarray(state.params["llm"]["layers"]["wq"]))
 
+@pytest.mark.parametrize("remat", [True, "dots"])
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 4, 2), (2, 4, 1)])
-def test_sharded_step_matches_single_device(mesh_shape):
+def test_sharded_step_matches_single_device(mesh_shape, remat):
     """Regression for a real miscompile: `with_sharding_constraint` inside a
     lax.scan body whose scanned-over stacked params are sharded produced
     WRONG values on multi-axis meshes (jax 0.9 CPU, both GSPMD and Shardy;
     loss off by 8e-4 relative, grad norm by 4%). Constraints are now
     anchored on the scan carry BEFORE the scan (models/vit.py, llama.py);
-    this pins sharded-vs-single-device train-step parity."""
+    this pins sharded-vs-single-device train-step parity — for BOTH remat
+    policies (True = full, "dots" = save-MXU-outputs), since jax.checkpoint
+    wraps exactly the miscompile-prone scan-body region."""
     cfg = tiny_vlm_config()
     rng = np.random.default_rng(0)
     host_batch = _make_batch(cfg, rng)
@@ -194,7 +197,7 @@ def test_sharded_step_matches_single_device(mesh_shape):
                                lr_scheduler_type="constant",
                                total_steps=10, stage="vla-full-train")
         state = create_train_state(params, tx)
-        step = jit_train_step(make_train_step(cfg, tx, remat=True,
+        step = jit_train_step(make_train_step(cfg, tx, remat=remat,
                                               compute_dtype=jnp.float32),
                               mesh=mesh)
         batch = shard_batch(host_batch, mesh)
