@@ -198,12 +198,18 @@ def llama_forward(
     attn_impl: str = "xla",
     remat: bool = False,
     logits_dtype=jnp.float32,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Optional[Params]]:
     """Returns (logits [B, L, V], updated_kv_cache_or_None).
 
     Without a cache: causal self-attention over the L tokens (+ padding mask).
     With a cache: the L tokens are written at slots [len, len+L) and attend to
     every valid cache slot ≤ their own (decode passes L == 1).
+
+    ``return_hidden``: return the final-normed hidden states [B, L, D]
+    instead of logits — for memory-lean heads that chunk the lm_head matmul
+    (``chunked_ce_loss_and_preds``): fp32 [B, L, vocab] logits (+ their
+    cotangent) dominate train-step temps at 7B scale.
     """
     B, L, D = inputs_embeds.shape
     if positions is None:
@@ -341,12 +347,66 @@ def llama_forward(
             new_cache["v_scale"] = vs_all
 
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    if return_hidden:
+        return h, new_cache
     logits = mm(h, params["lm_head"]).astype(logits_dtype)
     return logits, new_cache
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
     return params["embed"][input_ids]
+
+
+def chunked_ce_loss_and_preds(h: jax.Array, lm_head, labels: jax.Array, *,
+                              chunk: int = 128):
+    """Sequence-chunked shifted CE + greedy preds from final hidden states.
+
+    Numerically identical to ``mm(h, lm_head)`` + ``cross_entropy_loss``
+    (same fp32 log-softmax per position, same masked mean) but never holds
+    the full [B, L, vocab] fp32 logits or their cotangent: a ``lax.scan``
+    over ``chunk``-sized sequence blocks computes per-block loss partials
+    under ``jax.checkpoint`` (backward re-runs one block's lm_head matmul at
+    a time). At Emma-X 7B train shapes (B=2, fused 576, vocab 32064) this
+    trades ~0.5 GB of peak HBM for one extra lm_head pass — the difference
+    between fitting and OOMing the align-stage step on a 16 GB v5e.
+
+    Also returns greedy ``preds [B, L]`` (argmax per position) so callers
+    can compute logits-derived metrics (reference computes action accuracy
+    from logits in-loop, ``base_strategy.py:402-417``) without keeping
+    logits alive.
+    """
+    B, L, D = h.shape
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), IGNORE_INDEX, labels.dtype)], axis=1)
+    pad = (-L) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        shifted = jnp.pad(shifted, ((0, 0), (0, pad)),
+                          constant_values=IGNORE_INDEX)
+    n = (L + pad) // chunk
+    h_blocks = h.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
+    l_blocks = shifted.reshape(B, n, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def one_block(hb, lb):
+        logits = mm(hb, lm_head).astype(jnp.float32)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid = lb != IGNORE_INDEX
+        safe = jnp.where(valid, lb, 0)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+        return (-jnp.where(valid, ll, 0.0)).sum(), valid.sum(), preds
+
+    def body(carry, xs):
+        loss_sum, count = carry
+        ls, cnt, preds = one_block(*xs)
+        return (loss_sum + ls, count + cnt), preds
+
+    (loss_sum, count), preds = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (h_blocks, l_blocks))
+    preds = preds.transpose(1, 0, 2).reshape(B, L + pad)[:, :L]
+    return loss_sum / jnp.maximum(count, 1), preds
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array):

@@ -169,12 +169,18 @@ def vlm_forward(
     remat: bool = False,
     stop_vision_gradient: bool = False,
     multimodal_mask: Optional[jax.Array] = None,  # [B] bool; None = all mm
+    ce_chunk: Optional[int] = None,
 ):
     """Multimodal forward. Returns (logits, loss_or_None, new_cache_or_None).
 
     The returned logits cover the fused sequence [bos | patches | text[1:]].
     Text-only rows of a mixed batch (``multimodal_mask`` False) take the
     reference's unimodal merge (see ``fuse_multimodal``).
+
+    ``ce_chunk`` (training-only, requires ``labels``): compute the loss with
+    ``chunked_ce_loss_and_preds`` — the first return value is then greedy
+    PREDS [B, F] int32 instead of logits (full fp32 logits are never
+    materialized; see the llama.py docstring for the memory math).
     """
     if mask is None:
         mask = jnp.ones(input_ids.shape, jnp.bool_)
@@ -188,6 +194,16 @@ def vlm_forward(
     embeds, fmask, flabels, positions = fuse_multimodal(
         patch_embeds, input_embeds, mask, labels,
         multimodal_mask=multimodal_mask)
+    if ce_chunk and flabels is not None:
+        from emmax_tpu.models.llama import chunked_ce_loss_and_preds
+
+        h, new_cache = llm_apply(
+            params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
+            kv_cache=kv_cache, attn_impl=attn_impl, remat=remat,
+            return_hidden=True)
+        loss, preds = chunked_ce_loss_and_preds(
+            h, params["llm"]["lm_head"], flabels, chunk=ce_chunk)
+        return preds, loss, new_cache
     logits, new_cache = llm_apply(
         params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
         kv_cache=kv_cache, attn_impl=attn_impl, remat=remat)

@@ -142,6 +142,32 @@ def lookup_draft(hist: jax.Array, hlen: jax.Array, k: int,
     return draft
 
 
+def action_stride_draft(hist: jax.Array, hlen: jax.Array, k: int, *,
+                        bin_lo: int, bin_hi: int,
+                        period: int = 7) -> jax.Array:
+    """Action-bin delta draft (±0 guess): inside a ``POLICIES:`` run the
+    next 7-token action is usually within ±1-2 bins of the PREVIOUS action
+    per dim (BridgeV2 GCOT; docs/BENCHMARKS.md cold-frame diagnosis), so the
+    period-``period`` copy of the trailing bins — "next action = previous
+    action" — is the MAP guess for each dim. Exact-match n-gram lookup can
+    never chain these runs (any single-bin drift breaks the n-gram), which
+    is why cold frames crawled at 1 token/step through 55 bin tokens.
+
+    Fires per row only when the last ``period`` history tokens are ALL in
+    the action-token id range [bin_lo, bin_hi] (the final ``n_bins`` vocab
+    ids, ``vla/action_tokenizer.py``); the guess tiles the trailing action
+    across the whole k-token draft so multi-action accepts can chain.
+    Returns [B, k] drafts (-1 = no proposal)."""
+    B, H = hist.shape
+    idx = jnp.clip(hlen[:, None] - period + jnp.arange(period)[None, :], 0)
+    last = jnp.take_along_axis(hist, idx, axis=1)             # [B, period]
+    in_run = (jnp.all((last >= bin_lo) & (last <= bin_hi), axis=1)
+              & (hlen >= period))                             # [B]
+    reps = -(-k // period)
+    tiled = jnp.tile(last, (1, reps))[:, :k]
+    return jnp.where(in_run[:, None], tiled, -1)
+
+
 def _truncated_llm(params_llm, llm_cfg, d: int):
     """First-``d``-layer view of a stacked decoder (embed/final_norm/lm_head
     shared). Built ONCE per jitted call, outside the decode loop — slicing
@@ -236,8 +262,14 @@ _spec_tail_refresh = partial(jax.jit, static_argnames=(
 def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
                       first_in, cur_pos, forced, draft_ctx, *, max_new: int,
                       eos_id: int, attn_impl: str = "xla", k: int = 8,
-                      draft_layers: int = 0):
+                      draft_layers: int = 0, action_bins=None,
+                      action_period: int = 7):
     """Draft/verify loop → (tokens [B, max_new], verifier steps, chk).
+
+    ``action_bins`` ((lo, hi) static): enables ``action_stride_draft`` as a
+    fallback between prompt lookup and LayerSkip — rows with no lookup hit
+    whose trailing history is an action-bin run draft the previous action's
+    bins (±0 delta guess).
 
     ``draft_layers`` > 0 adds LayerSkip self-drafts (``_model_draft``) as a
     HYBRID fallback: prompt lookup still drafts first (free — a few [B, H]
@@ -326,6 +358,14 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
          chk) = state
         t0 = cache["len"]                                          # [B]
         draft = lookup_draft(hist, hlen, k)                        # [B, k]
+        if action_bins is not None:
+            # lookup first (exact repeats accept longer); stride ±0 only
+            # where lookup had nothing — a few [B, k] compares
+            stride = action_stride_draft(hist, hlen, k,
+                                         bin_lo=action_bins[0],
+                                         bin_hi=action_bins[1],
+                                         period=action_period)
+            draft = jnp.where((draft[:, :1] >= 0), draft, stride)
         if draft_layers:
             # hybrid: keep free lookup drafts where they fired; spend the
             # truncated model's weight reads only on rows with no match
@@ -388,7 +428,7 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
 
 _spec_decode = partial(jax.jit, static_argnames=(
     "cfg", "max_new", "eos_id", "attn_impl", "k",
-    "draft_layers"))(_spec_decode_impl)
+    "draft_layers", "action_bins", "action_period"))(_spec_decode_impl)
 
 
 # Fused one-dispatch runners: on this image's remote-TPU relay every jitted
@@ -408,35 +448,41 @@ def _pack_outputs(out, steps, chk):
 
 @partial(jax.jit, static_argnames=("cfg", "cache_len", "max_new", "eos_id",
                                    "attn_impl", "k", "quantized_cache",
-                                   "draft_layers"))
+                                   "draft_layers", "action_bins",
+                                   "action_period"))
 def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
                    forced, draft_ctx, *, cache_len: int, max_new: int,
                    eos_id: int, attn_impl: str = "xla", k: int = 8,
-                   quantized_cache: bool = False, draft_layers: int = 0):
+                   quantized_cache: bool = False, draft_layers: int = 0,
+                   action_bins=None, action_period: int = 7):
     cache, first, cur_pos, patches = _spec_prefill_impl(
         params, cfg, input_ids, mask, pixel_values, cache_len=cache_len,
         attn_impl=attn_impl, quantized_cache=quantized_cache)
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
-        draft_layers=draft_layers)
+        draft_layers=draft_layers, action_bins=action_bins,
+        action_period=action_period)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, cur_pos, patches
 
 
 @partial(jax.jit, static_argnames=("cfg", "t_tail", "max_new", "eos_id",
-                                   "attn_impl", "k", "draft_layers"))
+                                   "attn_impl", "k", "draft_layers",
+                                   "action_bins", "action_period"))
 def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
                    prev_cur_pos, forced, draft_ctx, *, t_tail: int,
                    max_new: int, eos_id: int, attn_impl: str = "xla",
-                   k: int = 8, draft_layers: int = 0):
+                   k: int = 8, draft_layers: int = 0, action_bins=None,
+                   action_period: int = 7):
     cache, first = _spec_tail_impl(
         params, cfg, input_ids[:, -t_tail:], prev_cache, prev_cur_pos,
         t_tail=t_tail, attn_impl=attn_impl)
     out, steps, chk = _spec_decode_impl(
         params, cfg, input_ids, mask, cache, first, prev_cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
-        draft_layers=draft_layers)
+        draft_layers=draft_layers, action_bins=action_bins,
+        action_period=action_period)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, prev_cur_pos
 
@@ -444,13 +490,15 @@ def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
 def _generate_speculative(params, cfg, input_ids, mask, pixel_values, forced,
                           draft_ctx=None, *, max_new, cache_len, eos_id,
                           attn_impl="xla", k=8, quantized_cache=False,
-                          draft_layers=0):
+                          draft_layers=0, action_bins=None,
+                          action_period: int = 7):
     """One-dispatch composition (kept for tests/compat)."""
     packed, _, _, _ = _spec_run_full(
         params, cfg, input_ids, mask, pixel_values, forced, draft_ctx,
         cache_len=cache_len, max_new=max_new, eos_id=eos_id,
         attn_impl=attn_impl, k=k, quantized_cache=quantized_cache,
-        draft_layers=draft_layers)
+        draft_layers=draft_layers, action_bins=action_bins,
+        action_period=action_period)
     return packed[:, :-2], packed[0, -2], None
 
 
@@ -482,13 +530,22 @@ class SpeculativeEngine(ServingEngine):
 
     def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,
                  force_bf16_spec: bool = False, draft_layers: int = 0,
-                 **kwargs) -> None:
+                 action_drafts: bool = True, action_n_bins: int = 256,
+                 action_period: int = 7, **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
             raise ValueError("SpeculativeEngine is greedy-only")
         self.draft_k = draft_k
         self.draft_layers = draft_layers
         self.prefix_tail = prefix_tail
+        # action-bin stride drafts: the ActionTokenizer overwrites the final
+        # `n_bins` ids of the BASE vocab (action_tokenizer.py); tiny test
+        # vocabs can't host a bin region distinct from text ids — disable
+        self.action_bins = None
+        self.action_period = action_period
+        vs = getattr(self.tokenizer, "vocab_size", 0)
+        if action_drafts and vs > 2 * action_n_bins:
+            self.action_bins = (vs - action_n_bins, vs - 1)
         self.last_steps: Optional[int] = None
         self.last_prefill: Optional[str] = None
         self._prefix = None   # {ids, mask, patches, cache, cur_pos}
@@ -681,7 +738,9 @@ class SpeculativeEngine(ServingEngine):
                 pre["cur_pos"], forced, ctx, t_tail=self.prefix_tail,
                 max_new=max_new, eos_id=self.options.eos_id,
                 attn_impl=self.attn_impl, k=self.draft_k,
-                draft_layers=self.draft_layers)
+                draft_layers=self.draft_layers,
+                action_bins=self.action_bins,
+                action_period=self.action_period)
             self.last_prefill = "tail"
         else:
             packed, cache, cur_pos, enc = _spec_run_full(
@@ -689,7 +748,9 @@ class SpeculativeEngine(ServingEngine):
                 cache_len=cache_len, max_new=max_new,
                 eos_id=self.options.eos_id, attn_impl=self.attn_impl,
                 k=self.draft_k, quantized_cache=self.quantized_cache,
-                draft_layers=self.draft_layers)
+                draft_layers=self.draft_layers,
+                action_bins=self.action_bins,
+                action_period=self.action_period)
             self.last_prefill = "full"
             if patches is None and fp is not None:
                 vc.store(fp, enc)

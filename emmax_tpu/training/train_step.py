@@ -30,6 +30,15 @@ def action_token_metrics(logits, labels, *, vocab_size: int, n_bins: int = 256):
     (``base_strategy.py:402-417``). logits cover the fused sequence; labels
     are already fused/shifted-compatible."""
     preds = jnp.argmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    return action_token_metrics_from_preds(preds, labels,
+                                           vocab_size=vocab_size,
+                                           n_bins=n_bins)
+
+
+def action_token_metrics_from_preds(preds, labels, *, vocab_size: int,
+                                    n_bins: int = 256):
+    """Same metrics from precomputed greedy preds [B, L-1] (positions 0..L-2)
+    — the memory-lean CE path never materializes logits."""
     targets = labels[:, 1:]
     begin = vocab_size - (n_bins + 1)
     action_mask = (targets > begin) & (targets != IGNORE_INDEX)
@@ -54,7 +63,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
                     grad_accum_steps: int = 1,
                     transforms: Optional[Dict] = None,
                     action_vocab_size: Optional[int] = None,
-                    freeze_mask: Optional[Dict] = None):
+                    freeze_mask: Optional[Dict] = None,
+                    ce_chunk: Optional[int] = None):
     """Returns ``train_step(state, batch) -> (state, metrics)`` ready to jit.
 
     ``freeze_mask`` (optional): the ``trainable_mask(params, stage)`` tree.
@@ -92,7 +102,8 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
             mask=batch["attention_mask"], labels=batch["labels"],
             attn_impl=attn_impl, remat=remat,
             stop_vision_gradient=stop_vision_gradient,
-            multimodal_mask=batch.get("multimodal_mask"))
+            multimodal_mask=batch.get("multimodal_mask"),
+            ce_chunk=ce_chunk)
         # fused labels for metrics: recompute cheaply from logits shape
         P = logits.shape[1] - batch["input_ids"].shape[1]
         fused_labels = jnp.concatenate(
@@ -104,9 +115,15 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
         # Llama-2), not the padded embedding-row count (32064) — the
         # reference metric uses tokenizer.vocab_size
         # (base_strategy.py:402-417, action_tokenizer.py:34-36).
-        acc, l1 = action_token_metrics(
-            logits, fused_labels,
-            vocab_size=action_vocab_size or cfg.llm.vocab_size)
+        if ce_chunk:
+            # lean path: `logits` already holds greedy preds [B, F]
+            acc, l1 = action_token_metrics_from_preds(
+                logits[:, :-1], fused_labels,
+                vocab_size=action_vocab_size or cfg.llm.vocab_size)
+        else:
+            acc, l1 = action_token_metrics(
+                logits, fused_labels,
+                vocab_size=action_vocab_size or cfg.llm.vocab_size)
         return loss, {"action_accuracy": acc, "action_l1": l1}
 
     # leaves to exclude from differentiation entirely (host-side decision)

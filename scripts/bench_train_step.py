@@ -51,6 +51,14 @@ def main():
                          "activation remat; dots = save MXU outputs, "
                          "recompute elementwise only; none = store all "
                          "activations (fastest if it fits HBM)")
+    ap.add_argument("--ce_chunk", type=int, default=0,
+                    help="sequence-chunked CE (chunked_ce_loss_and_preds): "
+                         "never materializes the [B, F, vocab] fp32 logits "
+                         "— needed to fit the 7B align step in 16 GB HBM")
+    ap.add_argument("--dry_mem", action="store_true",
+                    help="compile only and print XLA's memory analysis "
+                         "(argument/output/temp/peak bytes) without "
+                         "executing — for sizing 7B configs against HBM")
     args = ap.parse_args()
 
     import jax
@@ -113,7 +121,8 @@ def main():
         # no frozen-param-sized gradient tree is ever materialized
         stop_vision_gradient=(stage in ("align", "vla-train")),
         freeze_mask=trainable_mask(params, stage),
-        compute_dtype=jnp.bfloat16))
+        compute_dtype=jnp.bfloat16,
+        ce_chunk=args.ce_chunk or None))
 
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 30000, size=(B, T)).astype(np.int32)
@@ -129,6 +138,29 @@ def main():
             .astype(jnp.bfloat16) for name, v in cfg.vision},
     }
 
+    if args.dry_mem:
+        mark("lowering + compiling (dry_mem)")
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            print(f"# device bytes_limit={stats.get('bytes_limit')} "
+                  f"in_use={stats.get('bytes_in_use')}", file=sys.stderr)
+        except Exception as e:
+            print(f"# memory_stats unavailable: {e}", file=sys.stderr)
+        compiled = step.lower(state, batch).compile()
+        ma = compiled.memory_analysis()
+        print(json.dumps({
+            "bench": "train_step_dry_mem", "config": args.config,
+            "batch": B, "remat": args.remat, "attn": args.attn,
+            "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+            "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
+            "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "alias_gb": round(ma.alias_size_in_bytes / 2**30, 3),
+            "peak_gb": round((ma.argument_size_in_bytes
+                              + ma.output_size_in_bytes
+                              + ma.temp_size_in_bytes
+                              - ma.alias_size_in_bytes) / 2**30, 3),
+        }))
+        return
     mark("compiling train step")
     state, m = step(state, batch)          # compile
     _ = float(m["loss"])

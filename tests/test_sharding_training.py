@@ -352,3 +352,38 @@ def test_grad_accum_keeps_frozen_leaves_scalar_in_carry():
     v_a = np.asarray(s_a.params["vision"]["dino"]["blocks"]["wqkv"])
     np.testing.assert_array_equal(
         v_a, np.asarray(params["vision"]["dino"]["blocks"]["wqkv"]))
+
+
+@pytest.mark.parametrize("ce_chunk", [5, 128])
+def test_chunked_ce_matches_full_logits(ce_chunk):
+    """chunked_ce_loss_and_preds is a pure memory trade: loss, metrics, and
+    one optimizer step must match the full-logits path (f32, CPU). chunk=5
+    does not divide the fused length (padding path); 128 exceeds it
+    (single-block path)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                           max_grad_norm=1e9, lr_scheduler_type="constant",
+                           total_steps=10, stage="vla-full-train")
+    rng = np.random.default_rng(5)
+    batch = _make_batch(cfg, rng, B=2)
+    s0 = create_train_state(params, tx)
+
+    def run(chunk):
+        fn = jax.jit(make_train_step(cfg, tx, remat=False,
+                                     compute_dtype=jnp.float32,
+                                     ce_chunk=chunk))
+        s, m = fn(s0, batch)
+        return m, s.params
+
+    m_full, p_full = run(None)
+    m_lean, p_lean = run(ce_chunk)
+    assert float(m_lean["loss"]) == pytest.approx(float(m_full["loss"]),
+                                                  rel=1e-6)
+    for k in ("action_accuracy", "action_l1", "grad_norm"):
+        assert float(m_lean[k]) == pytest.approx(float(m_full[k]), rel=1e-5), k
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_lean)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=1e-4)

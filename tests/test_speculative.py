@@ -595,3 +595,87 @@ def test_session_seeded_episode_skips_cold_start(setup):
     np.testing.assert_array_equal(last2[:24], stream)   # still exact
     assert s2[0] <= max(s1[1:]), (s1, s2)    # seeded frame 0 ≈ warm frame
     assert sum(s2) < sum(s1), (s1, s2)       # no cold-start crawl
+
+
+# ------------------------------------------------- action-bin stride drafts
+
+def test_action_stride_draft_gating_and_tiling():
+    from emmax_tpu.serving.speculative import action_stride_draft
+    LO, HI = 100, 110
+    bins = [101, 102, 103, 104, 105, 106, 107]
+    # row 0: trailing 7 tokens are all bins -> tiled period-7 proposal
+    # row 1: text in the trailing window -> no proposal
+    # row 2: too short -> no proposal
+    hist, hlen = _hist([[9, 8] + bins,
+                        [9, 8, 101, 102, 7, 104, 105, 106, 107],
+                        [101, 102, 103]], H=16)
+    draft = np.asarray(action_stride_draft(hist, hlen, 10, bin_lo=LO,
+                                           bin_hi=HI, period=7))
+    np.testing.assert_array_equal(draft[0], bins + bins[:3])
+    assert (draft[1] == -1).all()
+    assert (draft[2] == -1).all()
+
+
+@pytest.fixture(scope="module")
+def setup_actions():
+    cfg = tiny_vlm_config(vocab_size=2048)
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteLevelTokenizer(vocab_size=2048)
+    return cfg, params, tok
+
+
+def _gcot_like_stream(tok, atok, rng, n_actions=6, max_delta=1):
+    """Scaffold text + n_actions consecutive 7-bin actions drifting by
+    <= max_delta bins per dim (the BridgeV2 smoothness the stride draft
+    exploits)."""
+    ids = tok.encode("MOVEMENT:\nmove forward 3 steps;\nPOLICIES: ",
+                     add_special_tokens=False)
+    a = rng.uniform(-0.5, 0.5, size=7)
+    width = 2.0 / (atok.n_bins - 1)
+    for _ in range(n_actions):
+        ids.extend(int(t) for t in atok.encode_to_ids(a))
+        a = np.clip(a + rng.integers(-max_delta, max_delta + 1, 7) * width,
+                    -1, 1)
+    return np.asarray(ids, np.int32)
+
+
+def test_action_drafts_cut_cold_action_crawl_and_stay_exact(setup_actions):
+    """Teacher-forced GCOT-shaped stream whose POLICIES bins drift ±1/dim:
+    stride drafts must cut verifier steps well below the undrafted count
+    while reproducing the forced stream exactly (greedy exactness)."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg, params, tok = setup_actions
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(0)
+    stream = _gcot_like_stream(tok, atok, rng)
+    n = len(stream)
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=n)
+    pixels = _pixels(cfg, rng, 1)
+    prompt = ["In: act\nOut:"]
+
+    def run(action_drafts):
+        eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=12,
+                                action_drafts=action_drafts)
+        assert (eng.action_bins is not None) == action_drafts
+        out = eng.generate_ids(prompt, pixels, max_new_tokens=n,
+                               forced_tokens=stream)
+        return np.asarray(out[0][:n]), eng.last_steps
+
+    out_off, steps_off = run(False)
+    out_on, steps_on = run(True)
+    np.testing.assert_array_equal(out_on, stream)      # exactness
+    np.testing.assert_array_equal(out_off, stream)
+    # 42 bin tokens undrafted crawl ~1/step; ±0 stride accepts the unchanged
+    # dims (1/3 here) as free multi-token runs. The offline simulator
+    # (docs/BENCHMARKS.md) predicts ~8 fewer steps on this stream; assert a
+    # real cut while leaving headroom for accept-order noise
+    assert steps_on <= steps_off - 5, (steps_on, steps_off)
+
+
+def test_action_drafts_disabled_on_tiny_vocab(setup):
+    cfg, params, tok = setup
+    eng = SpeculativeEngine(cfg, params, tok,
+                            options=GenerateOptions(eos_id=tok.eos_id),
+                            action_drafts=True)
+    assert eng.action_bins is None
