@@ -199,6 +199,7 @@ def llama_forward(
     remat: bool = False,
     logits_dtype=jnp.float32,
     return_hidden: bool = False,
+    chunk_attn_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Params]]:
     """Returns (logits [B, L, V], updated_kv_cache_or_None).
 
@@ -210,7 +211,16 @@ def llama_forward(
     instead of logits — for memory-lean heads that chunk the lm_head matmul
     (``chunked_ce_loss_and_preds``): fp32 [B, L, vocab] logits (+ their
     cotangent) dominate train-step temps at 7B scale.
+
+    ``chunk_attn_mask`` ([L, L] bool, cache path only): ancestor matrix for
+    speculative-TREE verification — the L chunk tokens attend past slots
+    plus chunk slot j iff ``chunk_attn_mask[i, j]`` instead of causally
+    (``ops/attention.py:_dense_mask``). Callers supply matching tree
+    ``positions`` (depth, not slot order).
     """
+    if chunk_attn_mask is not None and kv_cache is None:
+        raise ValueError("chunk_attn_mask requires a kv_cache (tree chunks "
+                         "verify against an existing context)")
     B, L, D = inputs_embeds.shape
     if positions is None:
         if mask is not None:
@@ -325,9 +335,11 @@ def llama_forward(
             q = mm(x, p["wq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             q = apply_rope(q, cos, sin)
             # query i (at slot t0+i) attends to valid slots j <= t0+i
+            # (or, under a tree chunk mask, to its ancestor chunk slots)
             attn_out = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                             causal=True, q_offset=t0,
-                                            impl=attn_impl)
+                                            impl=attn_impl,
+                                            chunk_mask=chunk_attn_mask)
             h = h + mm(attn_out.reshape(B, L, cfg.n_heads * cfg.head_dim),
                        p["wo"])
             x = rms_norm(h, p["mlp_norm"], cfg.norm_eps)

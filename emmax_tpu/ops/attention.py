@@ -23,13 +23,33 @@ def _repeat_kv(k, n_rep: int):
 
 
 def _dense_mask(q_len: int, kv_len: int, kv_mask, causal: bool,
-                q_offset):
+                q_offset, chunk_mask=None):
     """[B or 1, 1, q_len, kv_len] bool (True = attend).
 
     ``q_offset`` may be a scalar or a per-row [B] vector (continuous
-    batching: every row sits at its own cache cursor)."""
+    batching: every row sits at its own cache cursor).
+
+    ``chunk_mask`` ([q_len, q_len] bool) replaces the CAUSAL intra-chunk
+    relation for the q_len tokens written at cache slots
+    [q_offset, q_offset + q_len): query i attends past slots (< q_offset)
+    plus chunk slot j iff ``chunk_mask[i, j]`` — the ancestor matrix of a
+    speculative verification TREE (every root→leaf path is verified as its
+    own causal continuation in ONE forward)."""
     mask = None
-    if causal:
+    if chunk_mask is not None:
+        qo = jnp.asarray(q_offset)
+        if qo.ndim == 0:
+            qo = qo[None]                                      # [1]
+        kj = jnp.arange(kv_len)
+        rel = kj[None, :] - qo[:, None]                        # [B, kv]
+        in_chunk = (rel >= 0) & (rel < q_len)
+        # chunk_mask[:, rel] -> [q_len, B, kv] -> [B, q_len, kv]
+        cm = jnp.transpose(
+            chunk_mask[:, jnp.clip(rel, 0, q_len - 1)], (1, 0, 2))
+        allowed = jnp.where(in_chunk[:, None, :], cm,
+                            (rel < 0)[:, None, :])
+        mask = allowed[:, None]                                # [B,1,q,kv]
+    elif causal:
         qo = jnp.asarray(q_offset)
         kj = jnp.arange(kv_len)
         if qo.ndim == 0:
@@ -45,7 +65,7 @@ def _dense_mask(q_len: int, kv_len: int, kv_mask, causal: bool,
 
 
 def xla_attention(q, k, v, *, kv_mask=None, causal: bool = False,
-                  q_offset=0) -> jax.Array:
+                  q_offset=0, chunk_mask=None) -> jax.Array:
     """q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; softmax fp32."""
     n_rep = q.shape[2] // k.shape[2]
     k = _repeat_kv(k, n_rep)
@@ -54,7 +74,7 @@ def xla_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     mask = _dense_mask(q.shape[1], k.shape[1], kv_mask, causal,
-                       q_offset)
+                       q_offset, chunk_mask)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -69,18 +89,22 @@ def resolve_attn_impl(impl: str) -> str:
 
 
 def multi_head_attention(q, k, v, *, kv_mask=None, causal: bool = False,
-                         q_offset=0, impl: str = "xla") -> jax.Array:
+                         q_offset=0, impl: str = "xla",
+                         chunk_mask=None) -> jax.Array:
     """Unified attention entry point.
 
     q [B, Lq, H, hd]; k/v [B, Lk, KVH, hd]; kv_mask [B, Lk] bool or None;
     ``q_offset`` may be a traced scalar (decode step index).
     ``impl``: "xla" | "pallas" | "pallas_fused" | "auto" ("pallas_fused"
     folds dq into the backward's dkv kernel — identical forward).
+    ``chunk_mask`` (speculative-tree verification, see ``_dense_mask``)
+    always takes the XLA path — tree chunks are a handful of tokens, not a
+    flash-kernel shape.
     """
     impl = resolve_attn_impl(impl)
-    if impl == "xla":
+    if impl == "xla" or chunk_mask is not None:
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
-                             q_offset=q_offset)
+                             q_offset=q_offset, chunk_mask=chunk_mask)
     if impl in ("pallas", "pallas_fused"):
         # "pallas_fused" additionally folds dq into the backward's dkv
         # kernel (training-path A/B lever; identical forward)

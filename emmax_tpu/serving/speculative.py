@@ -168,6 +168,71 @@ def action_stride_draft(hist: jax.Array, hlen: jax.Array, k: int, *,
     return jnp.where(in_run[:, None], tiled, -1)
 
 
+TREE_OFFSETS = (0, -1, 1, -2, 2, -3, 3)   # bin-delta candidates, MAP-ordered
+
+
+def _tree_meta(widths: Tuple[int, ...]):
+    """Static product-tree topology for action-bin TREE verification.
+
+    Level d (1-based) holds ``prod(widths[:d])`` nodes — every node of
+    level d-1 gets ``widths[d-1]`` children whose tokens are the level-d
+    stride guess + ``TREE_OFFSETS[:widths[d-1]]``. Returns numpy arrays:
+    ``depth`` [N+1] (root = 0), ``ancestor`` [N+1, N+1] bool
+    (ancestor-or-self — the chunk attention mask), ``level_base`` [D]
+    (chunk slot of each level's first node). All static per ``widths``."""
+    D = len(widths)
+    if D == 0 or max(widths) > len(TREE_OFFSETS):
+        raise ValueError(f"tree widths {widths} must be 1..{len(TREE_OFFSETS)}"
+                         " candidates per level")
+    depth, parent = [0], [-1]
+    level_base = []
+    prev = [0]
+    slot = 1
+    for d, c in enumerate(widths):
+        level_base.append(slot)
+        cur = []
+        for p in prev:
+            for _ in range(c):
+                depth.append(d + 1)
+                parent.append(p)
+                cur.append(slot)
+                slot += 1
+        prev = cur
+    n1 = slot
+    anc = np.zeros((n1, n1), bool)
+    for i in range(n1):
+        j = i
+        while j >= 0:
+            anc[i, j] = True
+            j = parent[j]
+    return (np.asarray(depth, np.int32), anc,
+            np.asarray(level_base, np.int32), n1)
+
+
+def _compact_tree_cache(cache, abs_src, t0):
+    """Gather the accepted tree path's K/V rows (chunk slots ``abs_src``
+    [B, D], absolute) into the linear slots [t0+1, t0+1+D) so the cache
+    after a tree step is bit-identical to linear decode of the accepted
+    tokens. Rows beyond the accepted depth carry junk — the caller's keep
+    mask invalidates them. A few [L, B, D, KV, hd] rows per step."""
+    out = dict(cache)
+    B, D = abs_src.shape
+    for kk in ("k", "v", "k_scale", "v_scale"):
+        if kk not in cache:
+            continue
+        arr = cache[kk]
+        idx = abs_src[None, :, :, None, None]
+        src = jnp.take_along_axis(arr, idx, axis=2)        # [L, B, D, KV, hd]
+
+        def write_row(b, a):
+            row = jax.lax.dynamic_index_in_dim(src, b, 1, keepdims=True)
+            return jax.lax.dynamic_update_slice(
+                a, row.astype(a.dtype), (0, b, t0[b] + 1, 0, 0))
+
+        out[kk] = jax.lax.fori_loop(0, B, write_row, arr)
+    return out
+
+
 def _truncated_llm(params_llm, llm_cfg, d: int):
     """First-``d``-layer view of a stacked decoder (embed/final_norm/lm_head
     shared). Built ONCE per jitted call, outside the decode loop — slicing
@@ -263,13 +328,26 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
                       first_in, cur_pos, forced, draft_ctx, *, max_new: int,
                       eos_id: int, attn_impl: str = "xla", k: int = 8,
                       draft_layers: int = 0, action_bins=None,
-                      action_period: int = 7):
+                      action_period: int = 7, action_tree=None):
     """Draft/verify loop → (tokens [B, max_new], verifier steps, chk).
 
     ``action_bins`` ((lo, hi) static): enables ``action_stride_draft`` as a
     fallback between prompt lookup and LayerSkip — rows with no lookup hit
     whose trailing history is an action-bin run draft the previous action's
     bins (±0 delta guess).
+
+    ``action_tree`` (static width tuple, e.g. ``(7, 5)``; requires
+    ``action_bins``): TREE verification for action-bin runs. A ±0 stride
+    guess only accepts UNCHANGED bins; consecutive BridgeV2 actions drift
+    ±1-2 bins per dim, so when no row has a lookup hit and every live row
+    is inside a bin run, the chunk becomes a product tree — level d
+    proposes ``widths[d]`` bin candidates (guess + TREE_OFFSETS) under
+    every level-d-1 node, verified in ONE forward via an ancestor-matrix
+    attention mask (``ops/attention.py``). The verifier walk descends the
+    argmax path, the accepted path's K/V rows are compacted into linear
+    slots, and output stays exactly greedy (each path is verified as its
+    own causal continuation). Beyond-reference; no CUDA analog in the
+    reference (HF ``generate``).
 
     ``draft_layers`` > 0 adds LayerSkip self-drafts (``_model_draft``) as a
     HYBRID fallback: prompt lookup still drafts first (free — a few [B, H]
@@ -353,72 +431,177 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         done = rest[-2]
         return (steps < max_new) & ~jnp.all(done)
 
-    def body(state):
-        (steps, tok, cache, hist, hlen, out, out_len, cur_pos, done,
-         chk) = state
-        t0 = cache["len"]                                          # [B]
-        draft = lookup_draft(hist, hlen, k)                        # [B, k]
-        if action_bins is not None:
-            # lookup first (exact repeats accept longer); stride ±0 only
-            # where lookup had nothing — a few [B, k] compares
-            stride = action_stride_draft(hist, hlen, k,
-                                         bin_lo=action_bins[0],
-                                         bin_hi=action_bins[1],
-                                         period=action_period)
-            draft = jnp.where((draft[:, :1] >= 0), draft, stride)
-        if draft_layers:
-            # hybrid: keep free lookup drafts where they fired; spend the
-            # truncated model's weight reads only on rows with no match
-            # (and skip them entirely when every row matched)
-            hit = draft[:, 0] >= 0
+    if action_tree is not None:
+        if action_bins is None:
+            raise ValueError("action_tree requires action_bins")
+        t_depth, t_anc, t_base, t_n1 = _tree_meta(tuple(action_tree))
+        if len(action_tree) + 1 > K1:
+            raise ValueError(f"tree depth {len(action_tree)} must be < "
+                             f"draft_k+1={K1} (output-window slack)")
+        t_depth_j = jnp.asarray(t_depth)
+        t_anc_j = jnp.asarray(t_anc)
+        t_offs = jnp.asarray(TREE_OFFSETS, jnp.int32)
 
-            def with_model_draft(lk):
-                md = _model_draft(dparams, dcfg, tok, cache, cur_pos,
-                                  k=k, attn_impl=attn_impl)        # [B, k]
-                return jnp.where(hit[:, None], lk, md)
-
-            draft = jax.lax.cond(jnp.all(hit), lambda lk: lk,
-                                 with_model_draft, draft)
-        chunk = jnp.concatenate([tok[:, None], draft], axis=1)    # [B, k+1]
-        pos = cur_pos[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
-        emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
-        lg, new_cache = llm_apply(params["llm"], cfg.llm, emb, positions=pos,
-                                  kv_cache=cache, attn_impl=attn_impl)
-        targets = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)
-        if forced is not None:
-            # teacher-forced stream: targets[i] = forced[out_len + i]
-            targets = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
-                f, (s,), (K1,)))(forced, out_len)
-            # full-tensor sum so every lm_head column/position stays live
-            chk = chk + jnp.sum(lg.astype(jnp.float32))
-        # accept the longest draft prefix the verifier agrees with
-        acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32), axis=-1)
-        e = acc.sum(-1) + 1                                        # [B] in [1, k+1]
-        # clamp emission at the first EOS the verifier produced
-        pos_idx = jnp.arange(K1)
-        is_eos = (targets == eos_id) & (pos_idx[None, :] < e[:, None])
-        any_eos = is_eos.any(-1)
-        e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
-        e = jnp.where(done, 0, e).astype(jnp.int32)
-        # rewind the cache over rejected slots: keep [t0, t0+e) only
+    def _finish(steps, emitted, e, any_eos, W, new_cache, t0, cache_mask,
+                hist, hlen, out, out_len, cur_pos, done, chk):
+        """Shared chunk epilogue: cache rewind to [t0, t0+e), window writes
+        (done rows park theirs past max_new), cursor/done advance."""
         S = new_cache["k"].shape[2]
         slots = jnp.arange(S)
         keep = ((slots[None, :] >= t0[:, None])
                 & (slots[None, :] < (t0 + e)[:, None]))
-        new_cache = dict(new_cache, mask=cache["mask"] | keep, len=t0 + e)
-        # emit; done rows park their (ignored) window write past max_new
-        wstart = jnp.where(done, OUT - K1, out_len)
+        new_cache = dict(new_cache, mask=cache_mask | keep, len=t0 + e)
+        wstart = jnp.where(done, OUT - W, out_len)
         out = jax.vmap(lambda o, tg, s: jax.lax.dynamic_update_slice(
-            o, tg, (s,)))(out, targets, wstart)
-        hstart = jnp.where(done, H - K1, hlen)
+            o, tg, (s,)))(out, emitted, wstart)
+        hstart = jnp.where(done, H - W, hlen)
         hist = jax.vmap(lambda h, tg, s: jax.lax.dynamic_update_slice(
-            h, tg, (s,)))(hist, targets, hstart)
+            h, tg, (s,)))(hist, emitted, hstart)
         next_tok = jnp.take_along_axis(
-            targets, jnp.clip(e - 1, 0)[:, None], 1)[:, 0]
+            emitted, jnp.clip(e - 1, 0)[:, None], 1)[:, 0]
         out_len = out_len + e
         done = done | any_eos | (out_len >= max_new)
         return (steps + 1, next_tok, new_cache, hist, hlen + e, out,
                 out_len, cur_pos + e, done, chk)
+
+    def body(state):
+        (steps, tok, cache, hist, hlen, out, out_len, cur_pos, done,
+         chk) = state
+        t0 = cache["len"]                                          # [B]
+        lookup = lookup_draft(hist, hlen, k)                       # [B, k]
+
+        def linear_step():
+            draft = lookup
+            chk_l = chk
+            if action_bins is not None:
+                # lookup first (exact repeats accept longer); stride ±0
+                # only where lookup had nothing — a few [B, k] compares
+                stride = action_stride_draft(hist, hlen, k,
+                                             bin_lo=action_bins[0],
+                                             bin_hi=action_bins[1],
+                                             period=action_period)
+                draft = jnp.where((draft[:, :1] >= 0), draft, stride)
+            if draft_layers:
+                # hybrid: keep free lookup drafts where they fired; spend
+                # the truncated model's weight reads only on rows with no
+                # match (and skip them entirely when every row matched)
+                hit = draft[:, 0] >= 0
+
+                def with_model_draft(lk):
+                    md = _model_draft(dparams, dcfg, tok, cache, cur_pos,
+                                      k=k, attn_impl=attn_impl)    # [B, k]
+                    return jnp.where(hit[:, None], lk, md)
+
+                draft = jax.lax.cond(jnp.all(hit), lambda lk: lk,
+                                     with_model_draft, draft)
+            chunk = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, k+1]
+            pos = cur_pos[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
+            emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
+            lg, new_cache = llm_apply(params["llm"], cfg.llm, emb,
+                                      positions=pos, kv_cache=cache,
+                                      attn_impl=attn_impl)
+            targets = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)
+            if forced is not None:
+                # teacher-forced stream: targets[i] = forced[out_len + i]
+                targets = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
+                    f, (s,), (K1,)))(forced, out_len)
+                # full-tensor sum keeps every lm_head column/position live
+                chk_l = chk_l + jnp.sum(lg.astype(jnp.float32))
+            # accept the longest draft prefix the verifier agrees with
+            acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
+                              axis=-1)
+            e = acc.sum(-1) + 1                                    # [1, k+1]
+            # clamp emission at the first EOS the verifier produced
+            pos_idx = jnp.arange(K1)
+            is_eos = (targets == eos_id) & (pos_idx[None, :] < e[:, None])
+            any_eos = is_eos.any(-1)
+            e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
+            e = jnp.where(done, 0, e).astype(jnp.int32)
+            return _finish(steps, targets, e, any_eos, K1, new_cache, t0,
+                           cache["mask"], hist, hlen, out, out_len, cur_pos,
+                           done, chk_l)
+
+        if action_tree is None:
+            return linear_step()
+
+        def tree_step():
+            widths = tuple(action_tree)
+            D = len(widths)
+            chk_t = chk
+            # stride guesses per level: guess[d] = hist[hlen - period + d%p]
+            gidx = jnp.clip(hlen[:, None] - action_period
+                            + (jnp.arange(D) % action_period)[None, :], 0)
+            guess = jnp.take_along_axis(hist, gidx, axis=1)        # [B, D]
+            vmax = cfg.llm.vocab_size - 1
+            cand = jnp.clip(guess[:, :, None] + t_offs[None, None, :],
+                            0, vmax)               # [B, D, n_offsets]
+            # node tokens via the static (level, offset) maps
+            lvl_of, off_of = [], []
+            for d, c in enumerate(widths):
+                n_at = int(np.prod([1] + list(widths[:d]))) * c
+                lvl_of += [d] * n_at
+                off_of += list(np.tile(np.arange(c), n_at // c))
+            node_tokens = cand[:, np.asarray(lvl_of), np.asarray(off_of)]
+            chunk = jnp.concatenate([tok[:, None], node_tokens], 1)  # [B,N1]
+            pos = cur_pos[:, None] + t_depth_j[None, :]
+            emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
+            lg, new_cache = llm_apply(params["llm"], cfg.llm, emb,
+                                      positions=pos, kv_cache=cache,
+                                      attn_impl=attn_impl,
+                                      chunk_attn_mask=t_anc_j)
+            node_targets = jnp.argmax(lg.astype(jnp.float32),
+                                      -1).astype(jnp.int32)        # [B, N1]
+            if forced is not None:
+                win = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
+                    f, (s,), (D + 1,)))(forced, out_len)           # [B, D+1]
+                node_targets = win[:, t_depth]
+                chk_t = chk_t + jnp.sum(lg.astype(jnp.float32))
+            # walk the argmax path down the tree
+            t_prev = node_targets[:, 0]
+            emitted = jnp.zeros((B, D + 1), jnp.int32).at[:, 0].set(t_prev)
+            ok = jnp.ones((B,), jnp.bool_)
+            jj = jnp.zeros((B,), jnp.int32)
+            e = jnp.ones((B,), jnp.int32)
+            path = jnp.zeros((B, D), jnp.int32)
+            for d, c in enumerate(widths):                 # static unroll
+                cd = cand[:, d, :c]                        # [B, c]
+                hitm = cd == t_prev[:, None]
+                m = jnp.argmax(hitm, axis=1)
+                ok = ok & jnp.any(hitm, axis=1)
+                jj = jj * c + m
+                slot = t_base[d] + jj                      # [B] chunk slot
+                t_next = jnp.take_along_axis(node_targets,
+                                             slot[:, None], 1)[:, 0]
+                t_prev = jnp.where(ok, t_next, t_prev)
+                emitted = emitted.at[:, d + 1].set(t_prev)
+                path = path.at[:, d].set(slot)
+                e = e + ok
+            pos_idx = jnp.arange(D + 1)
+            is_eos = (emitted == eos_id) & (pos_idx[None, :] < e[:, None])
+            any_eos = is_eos.any(-1)
+            e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
+            e = jnp.where(done, 0, e).astype(jnp.int32)
+            # compact the accepted path's K/V into linear slots, so the
+            # post-step cache is bit-identical to linear decode
+            new_cache = _compact_tree_cache(new_cache,
+                                            t0[:, None] + path, t0)
+            return _finish(steps, emitted, e, any_eos, D + 1, new_cache,
+                           t0, cache["mask"], hist, hlen, out, out_len,
+                           cur_pos, done, chk_t)
+
+        # the tree fires only when NO live row has a lookup hit and EVERY
+        # live row sits inside an action-bin run (B=1 in the closed loop;
+        # mixed batches fall back to the linear chunk — still exact)
+        pidx = jnp.clip(hlen[:, None] - action_period
+                        + jnp.arange(action_period)[None, :], 0)
+        lastp = jnp.take_along_axis(hist, pidx, axis=1)
+        in_run = (jnp.all((lastp >= action_bins[0])
+                          & (lastp <= action_bins[1]), axis=1)
+                  & (hlen >= action_period))
+        live = ~done
+        use_tree = (~jnp.any(live & (lookup[:, 0] >= 0))
+                    & jnp.all(done | in_run) & jnp.any(live))
+        return jax.lax.cond(use_tree, tree_step, linear_step)
 
     (steps, _, _, _, _, out, out_len, _, _, chk) = jax.lax.while_loop(
         cond, body, state)
@@ -427,8 +610,8 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
 
 
 _spec_decode = partial(jax.jit, static_argnames=(
-    "cfg", "max_new", "eos_id", "attn_impl", "k",
-    "draft_layers", "action_bins", "action_period"))(_spec_decode_impl)
+    "cfg", "max_new", "eos_id", "attn_impl", "k", "draft_layers",
+    "action_bins", "action_period", "action_tree"))(_spec_decode_impl)
 
 
 # Fused one-dispatch runners: on this image's remote-TPU relay every jitted
@@ -449,12 +632,13 @@ def _pack_outputs(out, steps, chk):
 @partial(jax.jit, static_argnames=("cfg", "cache_len", "max_new", "eos_id",
                                    "attn_impl", "k", "quantized_cache",
                                    "draft_layers", "action_bins",
-                                   "action_period"))
+                                   "action_period", "action_tree"))
 def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
                    forced, draft_ctx, *, cache_len: int, max_new: int,
                    eos_id: int, attn_impl: str = "xla", k: int = 8,
                    quantized_cache: bool = False, draft_layers: int = 0,
-                   action_bins=None, action_period: int = 7):
+                   action_bins=None, action_period: int = 7,
+                   action_tree=None):
     cache, first, cur_pos, patches = _spec_prefill_impl(
         params, cfg, input_ids, mask, pixel_values, cache_len=cache_len,
         attn_impl=attn_impl, quantized_cache=quantized_cache)
@@ -462,19 +646,20 @@ def _spec_run_full(params, cfg: VLMConfig, input_ids, mask, pixel_values,
         params, cfg, input_ids, mask, cache, first, cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
         draft_layers=draft_layers, action_bins=action_bins,
-        action_period=action_period)
+        action_period=action_period, action_tree=action_tree)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, cur_pos, patches
 
 
 @partial(jax.jit, static_argnames=("cfg", "t_tail", "max_new", "eos_id",
                                    "attn_impl", "k", "draft_layers",
-                                   "action_bins", "action_period"))
+                                   "action_bins", "action_period",
+                                   "action_tree"))
 def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
                    prev_cur_pos, forced, draft_ctx, *, t_tail: int,
                    max_new: int, eos_id: int, attn_impl: str = "xla",
                    k: int = 8, draft_layers: int = 0, action_bins=None,
-                   action_period: int = 7):
+                   action_period: int = 7, action_tree=None):
     cache, first = _spec_tail_impl(
         params, cfg, input_ids[:, -t_tail:], prev_cache, prev_cur_pos,
         t_tail=t_tail, attn_impl=attn_impl)
@@ -482,7 +667,7 @@ def _spec_run_tail(params, cfg: VLMConfig, input_ids, mask, prev_cache,
         params, cfg, input_ids, mask, cache, first, prev_cur_pos, forced,
         draft_ctx, max_new=max_new, eos_id=eos_id, attn_impl=attn_impl, k=k,
         draft_layers=draft_layers, action_bins=action_bins,
-        action_period=action_period)
+        action_period=action_period, action_tree=action_tree)
     packed = _pack_outputs(out, steps, chk)
     return packed, cache, prev_cur_pos
 
@@ -531,7 +716,8 @@ class SpeculativeEngine(ServingEngine):
     def __init__(self, *args, draft_k: int = 8, prefix_tail: int = 0,
                  force_bf16_spec: bool = False, draft_layers: int = 0,
                  action_drafts: bool = True, action_n_bins: int = 256,
-                 action_period: int = 7, **kwargs) -> None:
+                 action_period: int = 7, action_tree=None,
+                 **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
             raise ValueError("SpeculativeEngine is greedy-only")
@@ -546,6 +732,13 @@ class SpeculativeEngine(ServingEngine):
         vs = getattr(self.tokenizer, "vocab_size", 0)
         if action_drafts and vs > 2 * action_n_bins:
             self.action_bins = (vs - action_n_bins, vs - 1)
+        # tree verification for bin runs (see _spec_decode): widths tuple,
+        # e.g. (7, 5) = 42-node product tree, one verifier forward per chunk
+        self.action_tree = (tuple(action_tree)
+                            if action_tree and self.action_bins else None)
+        self._tree_nodes = 0
+        if self.action_tree:
+            *_, self._tree_nodes = _tree_meta(self.action_tree)
         self.last_steps: Optional[int] = None
         self.last_prefill: Optional[str] = None
         self._prefix = None   # {ids, mask, patches, cache, cur_pos}
@@ -672,7 +865,7 @@ class SpeculativeEngine(ServingEngine):
         max_new = (self.options.max_new_tokens if max_new_tokens is None
                    else max_new_tokens)
         cache_len = _round_up(self.cfg.num_patches + ids.shape[1] + max_new
-                              + self.draft_k + 1)
+                              + max(self.draft_k + 1, self._tree_nodes))
         self._last_cache_len = cache_len
         forced = None
         if forced_tokens is not None:
@@ -740,7 +933,8 @@ class SpeculativeEngine(ServingEngine):
                 attn_impl=self.attn_impl, k=self.draft_k,
                 draft_layers=self.draft_layers,
                 action_bins=self.action_bins,
-                action_period=self.action_period)
+                action_period=self.action_period,
+                action_tree=self.action_tree)
             self.last_prefill = "tail"
         else:
             packed, cache, cur_pos, enc = _spec_run_full(
@@ -750,7 +944,8 @@ class SpeculativeEngine(ServingEngine):
                 k=self.draft_k, quantized_cache=self.quantized_cache,
                 draft_layers=self.draft_layers,
                 action_bins=self.action_bins,
-                action_period=self.action_period)
+                action_period=self.action_period,
+                action_tree=self.action_tree)
             self.last_prefill = "full"
             if patches is None and fp is not None:
                 vc.store(fp, enc)

@@ -104,13 +104,27 @@ def main():
     mark("params ready")
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
+    # per-component counts NOW — after state creation the old `params`
+    # buffers must be dead (see donate note below)
+    n_llm = sum(int(np.prod(l.shape)) for l in
+                jax.tree_util.tree_leaves(params["llm"]))
+    n_vis = sum(int(np.prod(l.shape)) for l in
+                jax.tree_util.tree_leaves(params["vision"]))
+    n_proj = sum(int(np.prod(l.shape)) for l in
+                 jax.tree_util.tree_leaves(params["projector"]))
     tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
                            max_grad_norm=1.0, lr_scheduler_type="constant",
                            total_steps=100, stage=stage)
     mark("creating train state (one jitted init)")
     # one jitted init: eager tx.init dispatches/compiles per leaf shape,
-    # which costs many minutes on the remote-compile relay
-    state = jax.jit(lambda pp: create_train_state(pp, tx))(params)
+    # which costs many minutes on the remote-compile relay. DONATE the
+    # params: without donation the jit materializes a second 14 GiB param
+    # tree (lazily — the relay defers buffer allocation, so the duplicate
+    # only surfaces as a RESOURCE_EXHAUSTED at the first train-step
+    # execution, 2 GiB past a 15.75 GiB limit with zero-size temps)
+    state = jax.jit(lambda pp: create_train_state(pp, tx),
+                    donate_argnums=(0,))(params)
+    del params
     jax.block_until_ready(state.opt_state)
     mark("train state ready")
     step = jit_train_step(make_train_step(
@@ -120,7 +134,7 @@ def main():
         # freeze mask excludes fully-frozen leaves from differentiation so
         # no frozen-param-sized gradient tree is ever materialized
         stop_vision_gradient=(stage in ("align", "vla-train")),
-        freeze_mask=trainable_mask(params, stage),
+        freeze_mask=trainable_mask(state.params, stage),
         compute_dtype=jnp.bfloat16,
         ce_chunk=args.ce_chunk or None))
 
@@ -173,13 +187,7 @@ def main():
         times.append(time.perf_counter() - t0)
     t_med = float(np.median(times))
 
-    # --- FLOPs accounting
-    n_llm = sum(int(np.prod(l.shape)) for l in
-                jax.tree_util.tree_leaves(params["llm"]))
-    n_vis = sum(int(np.prod(l.shape)) for l in
-                jax.tree_util.tree_leaves(params["vision"]))
-    n_proj = sum(int(np.prod(l.shape)) for l in
-                 jax.tree_util.tree_leaves(params["projector"]))
+    # --- FLOPs accounting (component counts captured before state creation)
     P = cfg.num_patches
     F = T + P                              # fused LLM sequence
     tok_llm = B * F

@@ -679,3 +679,116 @@ def test_action_drafts_disabled_on_tiny_vocab(setup):
                             options=GenerateOptions(eos_id=tok.eos_id),
                             action_drafts=True)
     assert eng.action_bins is None
+
+
+# ---------------------------------------------------- tree verification
+
+def test_tree_meta_topology():
+    from emmax_tpu.serving.speculative import _tree_meta
+    depth, anc, base, n1 = _tree_meta((3, 2))
+    assert n1 == 1 + 3 + 6
+    np.testing.assert_array_equal(depth, [0, 1, 1, 1, 2, 2, 2, 2, 2, 2])
+    np.testing.assert_array_equal(base, [1, 4])
+    # node 5 (second child of first level-1 node) sees root, node 1, itself
+    expect = np.zeros(10, bool); expect[[0, 1, 5]] = True
+    np.testing.assert_array_equal(anc[5], expect)
+    # every node sees itself and the root
+    assert anc.diagonal().all() and anc[:, 0].all()
+
+
+def test_tree_chunk_logits_match_linear_path(setup_actions):
+    """Gold property of tree verification: the logits at a tree node must
+    equal a LINEAR cached run of that node's ancestor path (same cache,
+    same positions). Exercises the chunk_attn_mask plumbing end to end."""
+    from emmax_tpu.models.llama import init_kv_cache
+    from emmax_tpu.models.vlm import llm_apply
+    from emmax_tpu.models.llama import embed_tokens
+    from emmax_tpu.serving.speculative import _tree_meta
+
+    cfg, params, tok = setup_actions
+    llm = params["llm"]
+    B, S = 1, 64
+    rng = np.random.default_rng(1)
+    # prefill 5 context tokens with per-row cursors
+    cache = init_kv_cache(cfg.llm, B, S, dtype=llm["embed"].dtype)
+    cache = dict(cache, len=jnp.zeros((B,), jnp.int32),
+                 mask=jnp.zeros((B, S), bool))
+    ctx = jnp.asarray(rng.integers(4, 200, size=(B, 5)), jnp.int32)
+    emb = embed_tokens(llm, ctx)
+    pos = jnp.broadcast_to(jnp.arange(5, dtype=jnp.int32), (B, 5))
+    _, cache = llm_apply(llm, cfg.llm, emb, positions=pos, kv_cache=cache)
+
+    depth, anc, base, n1 = _tree_meta((2, 2))
+    # chunk: root r, level-1 {a, b}, level-2 {c, d} under a, {e, f} under b
+    toks = jnp.asarray([[10, 20, 30, 40, 50, 60, 70]], jnp.int32)
+    pos_tree = jnp.asarray(depth)[None, :] + 5
+    lg_tree, _ = llm_apply(llm, cfg.llm, embed_tokens(llm, toks),
+                           positions=pos_tree, kv_cache=cache,
+                           chunk_attn_mask=jnp.asarray(anc))
+    # linear path root->b->f (slots 0, 2, 6) on a FRESH copy of the cache
+    lin = jnp.asarray([[10, 30, 70]], jnp.int32)
+    pos_lin = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lg_lin, _ = llm_apply(llm, cfg.llm, embed_tokens(llm, lin),
+                          positions=pos_lin, kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(lg_tree[0, [0, 2, 6]]),
+                               np.asarray(lg_lin[0]), rtol=2e-5, atol=2e-5)
+
+
+def test_tree_engine_free_run_token_identical(setup_actions):
+    """Prompt ends in a 7-bin action run, so the FIRST decode step takes the
+    tree branch with real (argmax) targets — output, including everything
+    decoded after the tree step from the compacted cache, must equal the
+    plain engine's greedy stream."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg, params, tok = setup_actions
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(2)
+    pixels = _pixels(cfg, rng, 1)
+    bins = " ".join([])  # suffix_ids carry the bin run
+    suffix = [int(t) for t in atok.encode_to_ids(rng.uniform(-0.5, 0.5, 7))]
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=24)
+    prompt = ["In: POLICIES:"]
+    plain = ServingEngine(cfg, params, tok, options=opts)
+    ref = plain.generate_ids(prompt, pixels, max_new_tokens=24,
+                             suffix_ids=suffix)
+    for widths in ((5,), (3, 2)):
+        spec = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=12,
+                                 action_tree=widths)
+        assert spec.action_tree == widths
+        out = spec.generate_ids(prompt, pixels, max_new_tokens=24,
+                                suffix_ids=suffix)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref)), widths
+
+
+def test_tree_cuts_forced_bin_stream_steps(setup_actions):
+    """±1-drift GCOT-shaped stream: tree verification must beat both the
+    undrafted and the stride-only step counts, and stay exact."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg, params, tok = setup_actions
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(0)
+    stream = _gcot_like_stream(tok, atok, rng)
+    n = len(stream)
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=n)
+    pixels = _pixels(cfg, rng, 1)
+    prompt = ["In: act\nOut:"]
+
+    def run(**kw):
+        eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=12,
+                                **kw)
+        out = eng.generate_ids(prompt, pixels, max_new_tokens=n,
+                               forced_tokens=stream)
+        np.testing.assert_array_equal(np.asarray(out[0][:n]), stream)
+        return eng.last_steps
+
+    steps_off = run(action_drafts=False)
+    steps_stride = run()
+    steps_tree = run(action_tree=(5, 3))
+    assert steps_tree < steps_stride < steps_off, (
+        steps_tree, steps_stride, steps_off)
+    # ±1 drift is fully inside the (5, 3) candidate sets: with 42 bin
+    # tokens the tree should land FAR below stride (sim predicts ~2x fewer
+    # bin-region steps); keep slack for boundary effects
+    assert steps_tree <= steps_off - 15, (steps_tree, steps_off)
