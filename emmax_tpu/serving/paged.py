@@ -1005,6 +1005,9 @@ class PagedServingEngine:
         # burstdense fast path: when every slot enters a burst at the same
         # length (host-checked), new-row writes batch into one DUS per
         # buffer per layer (see _burstdense_decode_burst). Disable to A/B.
+        # uniform_write is a STATIC jit arg — call ``warmup()`` after
+        # construction or the first diverged-length burst pays a lazy
+        # compile (multi-minute on the remote relay).
         self.uniform_burst_writes = uniform_burst_writes
         compute_dtype = params["llm"]["embed"].dtype
         self.pool = init_paged_pool(
@@ -1027,6 +1030,13 @@ class PagedServingEngine:
         self._shared_refs: Dict[int, Dict] = {}
         self.queue: List[_Request] = []
         self.running: Dict[int, _Request] = {}
+        # AOT-compiled burst executables keyed by uniform_write. The
+        # uniform fast path is a STATIC jit arg: without warmup, the first
+        # burst after lengths diverge (first mid-burst completion) would
+        # trace+compile the per-row variant mid-serving — a multi-minute
+        # stall on this image's remote-compile relay. ``warmup()``
+        # pre-compiles both; step() then only ever calls executables.
+        self._burst_exec: Dict[bool, object] = {}
         self.finished: Dict[int, List[int]] = {}
 
     # -- API --------------------------------------------------------------
@@ -1261,6 +1271,38 @@ class PagedServingEngine:
                 self._page_pos[page] = req.n_pages - 1
         return True
 
+    def _burst_compiled(self, uniform: bool, ownership: dict):
+        """Memoized AOT executable for one uniform_write variant (lower +
+        compile once; donation and static args are baked in)."""
+        ex = self._burst_exec.get(uniform)
+        if ex is None:
+            ex = _paged_decode_burst.lower(
+                self.params["llm"], self.cfg.llm, self.pool,
+                page_size=self.page_size, n_pages=self.n_pages,
+                burst=self.burst, eos_id=self.tokenizer.eos_id,
+                paged_attn=self.paged_attn, uniform_write=uniform,
+                **ownership).compile()
+            self._burst_exec[uniform] = ex
+        return ex
+
+    def warmup(self) -> list:
+        """Pre-compile the decode-burst executables this engine can ever
+        dispatch, so no burst pays a lazy compile mid-serving. burstdense
+        with ``uniform_burst_writes`` has TWO variants (the uniform-write
+        fast path and the per-row fallback the engine switches to when
+        lengths diverge after a mid-burst completion); everything else has
+        one. Returns the variant keys warmed."""
+        ownership = {}
+        if self.paged_attn == "poolmask":
+            ownership = {"page_owner": jnp.asarray(self._page_owner),
+                         "page_pos": jnp.asarray(self._page_pos)}
+        variants = ([True, False]
+                    if (self.uniform_burst_writes
+                        and self.paged_attn == "burstdense") else [False])
+        for u in variants:
+            self._burst_compiled(u, ownership)
+        return variants
+
     def step(self) -> List[Tuple[int, List[int]]]:
         """Admit + one jitted ``burst``-token decode scan (one dispatch +
         one fetch per burst; per-token stepping is relay-dispatch-bound)."""
@@ -1282,11 +1324,8 @@ class PagedServingEngine:
                    and self.paged_attn == "burstdense"
                    and len(self.running) == self.num_slots
                    and bool(np.all(self._len == self._len[0])))
-        self.pool, packed = _paged_decode_burst(
-            self.params["llm"], self.cfg.llm, self.pool,
-            page_size=self.page_size, n_pages=self.n_pages,
-            burst=self.burst, eos_id=self.tokenizer.eos_id,
-            paged_attn=self.paged_attn, uniform_write=uniform, **ownership)
+        self.pool, packed = self._burst_compiled(uniform, ownership)(
+            self.params["llm"], self.pool, **ownership)
         packed = np.asarray(packed)          # ONE fetch per burst
         emitted = packed[:, :self.burst]
         active_after = packed[:, self.burst].astype(bool)

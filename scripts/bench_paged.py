@@ -84,8 +84,13 @@ def main():
         imgs = {k: jnp.concatenate([v] * 6, axis=0) for k, v in pixels.items()}
         t0 = time.perf_counter()
         out = eng.generate_ids([prompt] * 6, imgs, max_new_tokens=64)
-        jax.block_until_ready(out)
-        return 6 * 64, time.perf_counter() - t0
+        out = np.asarray(out)                # forces the fetch
+        dt = time.perf_counter() - t0
+        # count actually-emitted (non-EOS-padding) tokens, mirroring the
+        # paged path — with real weights an early EOS must not inflate
+        # dense tok/s (random weights rarely emit EOS, so usually 6*64)
+        toks = int((out != tok.eos_id).sum())
+        return toks, dt
 
     out = {}
     for variant in variants:

@@ -169,8 +169,8 @@ def test_burstdense_uniform_write_fast_path_exact(setup, quantized):
     DUS) must emit EXACTLY the tokens of the per-row path — identical
     values land at identical offsets; only the write granularity changes.
     Unequal max_new forces one row to finish MID-burst (its junk rows must
-    stay masked), and a second admission after lengths diverge exercises
-    the auto-fallback to the per-row path."""
+    stay masked); the next burst then sees diverged lengths (one slot
+    retired), which exercises the auto-fallback to the per-row path."""
     cfg, params, tok, pixels = setup
     prompts = ["In: pick up the cup\nOut:", "In: wipe the tables\nOut:"]
     assert len(prompts[0]) == len(prompts[1])  # equal fused lengths
@@ -187,6 +187,32 @@ def test_burstdense_uniform_write_fast_path_exact(setup, quantized):
         return [done[r] for r in rids]
 
     assert run(True) == run(False)
+
+
+def test_warmup_precompiles_both_burst_variants(setup):
+    """warmup() must compile BOTH uniform_write executables up front (the
+    flag is a static jit arg — without warmup the first diverged-length
+    burst pays a lazy compile mid-serving), and a post-warmup serve that
+    crosses the uniform -> per-row switch must still be token-correct."""
+    cfg, params, tok, pixels = setup
+    eng = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=16,
+                             page_size=32, max_pages_per_slot=8,
+                             burst=8, paged_attn="burstdense")
+    assert sorted(eng.warmup()) == [False, True]
+    assert set(eng._burst_exec) == {False, True}
+    prompts = ["In: pick up the cup\nOut:", "In: wipe the tables\nOut:"]
+    rids = [eng.submit(p, pixels(60 + i), max_new_tokens=4 + 8 * i)
+            for i, p in enumerate(prompts)]
+    done = eng.run_until_complete()
+    # no NEW executables were compiled while serving
+    assert set(eng._burst_exec) == {False, True}
+    base = PagedServingEngine(cfg, params, tok, num_slots=2, n_pages=16,
+                              page_size=32, max_pages_per_slot=8,
+                              burst=8, paged_attn="burstdense")
+    rb = [base.submit(p, pixels(60 + i), max_new_tokens=4 + 8 * i)
+          for i, p in enumerate(prompts)]
+    assert [done[r] for r in rids] == [base.run_until_complete()[r]
+                                       for r in rb]
 
 
 def test_shared_prefix_admission_matches_solo(setup):
