@@ -15,18 +15,23 @@ This replaces the role of the reference's bitsandbytes 4-bit path
 Layout (per weight ``w: [..., D, F]``):
 - values are group-quantized along the input dim: groups of ``group`` rows
   share a per-output-channel scale → ``scale: [..., G, F]`` f32 with
-  ``G = D / group`` (absmax/7 symmetric, levels in [-7, 7]).
+  ``G = D / group``. Levels are MID-RISE: stored code ``q ∈ [-8, 7]``
+  decodes to ``(q + 0.5)·scale`` — 16 symmetric levels (no wasted −8
+  twin), and the scale is MSE-searched over ``SEARCH_FRACS`` of the
+  absmax fit rather than absmax/7 (round-4 quality push: −12.5% relative
+  matmul-output error on the random-weight worst case at group 64).
 - nibbles are packed *half-split*, not interleaved: byte ``b[p, f]`` holds
   original row ``p`` in its low nibble and row ``p + D/2`` in its high
   nibble → ``q4: [..., D/2, F]`` int8. Unpacking is then **zero shuffles**
   — each nibble plane is a contiguous [D/2, F] tile feeding the MXU.
 - ``D % (2 * group) == 0`` so no group straddles the half boundary.
 - the HIGH nibble is two's-complement; the LOW nibble is stored BIASED
-  (+8, so levels [-7,7] pack as [1,15]). Unpack is then TWO int32 ops per
+  (+8, so codes [-8,7] pack as [0,15]). Unpack is then TWO int32 ops per
   byte: ``hi = b >> 4`` (one arithmetic shift sign-extends AND floors away
-  the low bits, since ``lo_u ∈ [0,16)``) and ``lo_u = b & 15``; the −8 bias
-  never touches the weight tile — it folds into the f32 epilogue as
-  ``−8·rowsum(x_lo)`` per group (BM adds, vs group·BN element fixups).
+  the low bits, since ``lo_u ∈ [0,16)``) and ``lo_u = b & 15``; neither
+  the −8 bias nor the mid-rise +0.5 ever touches the weight tile — they
+  fold into the f32 epilogue as ``−7.5·rowsum(x_lo)`` and
+  ``+0.5·rowsum(x_hi)`` per group (BM adds, vs group·BN element fixups).
 
 Round-2 history: sign-extension as int32 shift PAIRS (``(b<<28)>>28`` /
 ``(b<<24)>>28``) measured fastest of the then-tried Mosaic-legal variants
@@ -85,8 +90,27 @@ def _resolve_group(D: int, group: int) -> int:
     return group
 
 
-def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP) -> Dict[str, Any]:
+# MSE scale-search candidates, as fractions of the absmax-fit scale.
+# absmax clipping is MSE-suboptimal for bell-shaped weights: shrinking the
+# scale clips a few outliers but refines the step for ALL interior mass.
+# Measured on N(0, 0.02) 4096x4096 (the random-weight worst case of
+# scripts/bench_quant_quality.py): g64 relative matmul-output error
+# 0.1080 (absmax mid-tread) -> 0.0945 (mid-rise + search), -12.5%.
+SEARCH_FRACS = tuple(np.linspace(0.55, 1.0, 10))
+
+
+def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP,
+                            search: bool = True) -> Dict[str, Any]:
     """numpy host-side quantizer: ``[..., D, F]`` → ``{"q4", "scale"}``.
+
+    MID-RISE levels: the stored code ``q ∈ [-8, 7]`` decodes to
+    ``(q + 0.5)·scale`` — 16 symmetric levels (no wasted level, step
+    absmax/7.5 instead of absmax/7), the MSE-optimal uniform quantizer for
+    symmetric weight distributions. All-zero groups get ``scale = 0`` so
+    they decode to exact zeros. ``search`` picks the per-(group, channel)
+    scale minimizing reconstruction MSE over ``SEARCH_FRACS`` candidates
+    instead of the absmax fit (quantize-time cost only; the kernel is
+    unchanged by it).
 
     ``group`` shrinks automatically for tiny test dims; real LLM dims
     (4096 / 11008) keep the default 128.
@@ -97,17 +121,33 @@ def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP) -> Dict[str, Any]:
     G = D // group
     grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
     absmax = np.max(np.abs(grouped), axis=-2, keepdims=True)
-    scale = np.where(absmax == 0, 1.0, absmax / 7.0).astype(np.float32)
-    q = np.clip(np.round(grouped / scale), -7, 7).astype(np.int32)
-    q = q.reshape(w.shape)
+    base = (absmax / 7.5).astype(np.float32)
+
+    def levels(s):
+        safe = np.where(s == 0, 1.0, s)
+        return np.clip(np.floor(grouped / safe + 8), 0, 15) - 8
+
+    scale = base
+    if search:
+        best = None
+        for c in SEARCH_FRACS:
+            s = base * np.float32(c)
+            err = ((levels(s) + 0.5) * s - grouped) ** 2
+            mse = err.sum(-2, keepdims=True)
+            if best is None:
+                best, scale = mse, s
+            else:
+                scale = np.where(mse < best, s, scale)
+                best = np.minimum(mse, best)
+    q = levels(scale).astype(np.int32).reshape(w.shape)
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
     packed = ((hi << 4) | (lo + 8)).astype(np.int8)   # low nibble biased +8
     return {"q4": packed,
             "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
 
 
-def quantize_weight_int4(w: jax.Array,
-                         group: int = DEFAULT_GROUP) -> Dict[str, Any]:
+def quantize_weight_int4(w: jax.Array, group: int = DEFAULT_GROUP,
+                         search: bool = True) -> Dict[str, Any]:
     """jnp twin of :func:`quantize_weight_int4_np` (jit/eval_shape-able)."""
     w = jnp.asarray(w, jnp.float32)
     D = w.shape[-2]
@@ -115,9 +155,25 @@ def quantize_weight_int4(w: jax.Array,
     G = D // group
     grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
     absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
-    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
-    q = jnp.clip(jnp.round(grouped / scale), -7, 7).astype(jnp.int32)
-    q = q.reshape(w.shape)
+    base = absmax / 7.5
+
+    def levels(s):
+        safe = jnp.where(s == 0, 1.0, s)
+        return jnp.clip(jnp.floor(grouped / safe + 8), 0, 15) - 8
+
+    scale = base
+    if search:
+        best = None
+        for c in SEARCH_FRACS:
+            s = base * jnp.float32(c)
+            mse = (((levels(s) + 0.5) * s - grouped) ** 2).sum(-2,
+                                                               keepdims=True)
+            if best is None:
+                best, scale = mse, s
+            else:
+                scale = jnp.where(mse < best, s, scale)
+                best = jnp.minimum(mse, best)
+    q = levels(scale).astype(jnp.int32).reshape(w.shape)
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
     packed = (jnp.left_shift(hi, 4) | (lo + 8)).astype(jnp.int8)
     return {"q4": packed,
@@ -143,13 +199,16 @@ def unpack_planes(q4: jax.Array):
 
 
 def dequantize_weight_int4(qw: Dict[str, Any], dtype=jnp.float32) -> jax.Array:
-    """Reference unpack (used by the XLA fallback and tests)."""
+    """Reference unpack (used by the XLA fallback and tests).
+
+    MID-RISE decode: level ``q`` means ``(q + 0.5)·scale`` (16 symmetric
+    half-integer levels; all-zero groups carry scale 0 → exact zeros)."""
     q4 = jnp.asarray(qw["q4"])
     scale = jnp.asarray(qw["scale"])
     G = scale.shape[-2]
     group = (2 * q4.shape[-2]) // G
     lo, hi = unpack_planes(q4)
-    w = jnp.concatenate([lo, hi], axis=-2)            # [..., D, F]
+    w = jnp.concatenate([lo, hi], axis=-2) + 0.5      # [..., D, F]
     srep = jnp.repeat(scale, group, axis=-2)          # [..., D, F]
     return (w * srep).astype(dtype)
 
@@ -209,9 +268,15 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
                  d_half + (g + 1) * group].astype(jnp.bfloat16)
         p_lo = jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
         p_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
-        # undo the +8 low-nibble bias on [BM, 1] instead of [group, BN]
-        fix = 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
-        part = (p_lo - fix) * s_lo + p_hi * s_hi
+        # mid-rise decode: w = (level + 0.5)·s. The low plane's +8 storage
+        # bias and the +0.5 merge into ONE −7.5·rowsum fix; the high plane
+        # needs +0.5·rowsum (+8 on the arith path, whose dot carries 16·hi
+        # and whose scale row carries the 1/16) — all on [BM, 1] instead
+        # of [group, BN]
+        rs_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        rs_hi = jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
+        hi_fix = 8.0 if unpack == "arith" else 0.5
+        part = (p_lo - 7.5 * rs_lo) * s_lo + (p_hi + hi_fix * rs_hi) * s_hi
         acc = part if acc is None else acc + part
     o_ref[:] = acc.astype(o_ref.dtype)
 

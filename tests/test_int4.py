@@ -20,13 +20,28 @@ CFG = LlamaConfig(vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
 def test_pack_unpack_roundtrip_error_bound():
     rng = np.random.default_rng(0)
     w = rng.normal(scale=0.02, size=(256, 128)).astype(np.float32)
-    qw = quantize_weight_int4_np(w, group=128)
+    # search=False: the absmax-fit scale never clips, so scale/2 is exact
+    qw = quantize_weight_int4_np(w, group=128, search=False)
     assert qw["q4"].shape == (128, 128) and qw["q4"].dtype == np.int8
     assert qw["scale"].shape == (2, 128)
     back = np.asarray(dequantize_weight_int4(qw))
-    # symmetric int4 in [-7, 7]: max error is scale/2 per group
+    # mid-rise levels (q + 0.5)·s, step s: max error is scale/2 per group
     srep = np.repeat(np.asarray(qw["scale"]), 128, axis=0)
     assert (np.abs(back - w) <= srep / 2 + 1e-7).all()
+
+
+def test_scale_search_reduces_mse():
+    """The MSE scale search must never lose to the absmax fit (it includes
+    frac=1.0 as a candidate) and must WIN on bell-shaped weights."""
+    rng = np.random.default_rng(9)
+    w = rng.normal(scale=0.02, size=(512, 128)).astype(np.float32)
+
+    def mse(search):
+        back = np.asarray(dequantize_weight_int4(
+            quantize_weight_int4_np(w, group=64, search=search)))
+        return float(((back - w) ** 2).sum())
+
+    assert mse(True) < 0.95 * mse(False)
 
 
 def test_pack_handles_stacked_layers_and_negative_nibbles():
@@ -36,13 +51,26 @@ def test_pack_handles_stacked_layers_and_negative_nibbles():
     assert qw["q4"].shape == (3, 32, 32)
     back = np.asarray(dequantize_weight_int4(qw))
     assert back.shape == w.shape
-    # every int4 level from -7..7 must round-trip through the nibble pack
+    # every mid-rise level (q + 0.5)·s for q in -8..7 must round-trip
+    # through the nibble pack exactly
     g = 8
-    levels = np.tile(np.arange(-7, 8, dtype=np.float32)[:, None], (1, 8))
-    levels = np.vstack([levels, levels[:1]])  # 16 rows
-    ql = quantize_weight_int4_np(levels, group=g)
+    levels = np.tile((np.arange(-8, 8, dtype=np.float32) + 0.5)[:, None],
+                     (1, 8))
+    ql = quantize_weight_int4_np(levels, group=g, search=False)
     bl = np.asarray(dequantize_weight_int4(ql))
     np.testing.assert_allclose(bl, levels, atol=1e-6)
+
+
+def test_all_zero_group_dequantizes_to_exact_zero():
+    """Padded/zero weight regions must stay exactly zero: mid-rise has no
+    zero level, so all-zero groups carry scale 0 (not the old 1.0 guard,
+    which would decode them to ±0.5)."""
+    w = np.zeros((64, 16), np.float32)
+    w[32:, :] = np.linspace(-1, 1, 16)[None, :]      # one live half
+    qw = quantize_weight_int4_np(w, group=32)
+    back = np.asarray(dequantize_weight_int4(qw))
+    assert (back[:32] == 0).all()
+    assert np.abs(back[32:] - w[32:]).max() < 0.2
 
 
 def test_matmul_xla_matches_dequant_dense():
