@@ -28,15 +28,20 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--shapes", default="8x448,2x2048",
+    ap.add_argument("--shapes", default="8x448,8x576,2x2048",
                     help="comma list of BxL")
     ap.add_argument("--impls", default="xla,pallas,pallas_fused")
+    ap.add_argument("--blocks", default="",
+                    help="optional comma list of bq:bk:bq_bwd:bk_bwd "
+                         "overrides swept for the pallas impls (empty = "
+                         "the adaptive default)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from emmax_tpu.ops.attention import multi_head_attention
+    from emmax_tpu.ops.flash_attention import flash_attention
 
     H, D = 32, 128
     rng = np.random.default_rng(0)
@@ -47,19 +52,32 @@ def main():
         k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
 
+        block_variants = [None]
+        if args.blocks:
+            block_variants = [tuple(int(x) for x in b.split(":"))
+                              for b in args.blocks.split(",")]
+
+        def attn(q, k, v, impl, blocks):
+            if impl == "xla" or blocks is None:
+                return multi_head_attention(q, k, v, causal=True, impl=impl)
+            bq, bk, bqb, bkb = blocks
+            return flash_attention(q, k, v, causal=True, block_q=bq,
+                                   block_k=bk, block_q_bwd=bqb,
+                                   block_k_bwd=bkb,
+                                   fused_bwd=(impl == "pallas_fused"))
+
         for impl in args.impls.split(","):
+          for blocks in (block_variants if impl != "xla" else [None]):
 
             @jax.jit
-            def fwd(q, k, v, impl=impl):
-                return multi_head_attention(q, k, v, causal=True,
-                                            impl=impl).sum()
+            def fwd(q, k, v, impl=impl, blocks=blocks):
+                return attn(q, k, v, impl, blocks).sum()
 
             @jax.jit
-            def bwd(q, k, v, impl=impl):
+            def bwd(q, k, v, impl=impl, blocks=blocks):
                 def loss(q, k, v):
-                    return multi_head_attention(
-                        q, k, v, causal=True,
-                        impl=impl).astype(jnp.float32).sum()
+                    return attn(q, k, v, impl,
+                                blocks).astype(jnp.float32).sum()
                 return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
             def t_of(fn):
@@ -82,6 +100,8 @@ def main():
             t_f, t_b = t_of(fwd), t_of(bwd)
             print(json.dumps({
                 "bench": "flash_kernel", "B": B, "L": L, "impl": impl,
+                "blocks": (":".join(str(x) for x in blocks)
+                           if blocks else "adaptive"),
                 "fwd_ms": round(t_f * 1e3, 2),
                 "fwd_bwd_ms": round(t_b * 1e3, 2),
                 "bwd_only_ms": round((t_b - t_f) * 1e3, 2),
