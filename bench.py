@@ -369,6 +369,37 @@ def main():
         except Exception as e:  # pragma: no cover
             extras["session_error"] = str(e)[:120]
 
+        # --- 10-episode SOAK (VERDICT r3 item 8): the reference runs ~100
+        # env-step episodes back to back (run_bridgev2_eval.py:149). Runs
+        # 10 full episodes chained through the session machinery and
+        # reports p50/p95 frame latency plus two health gates: no lazy
+        # recompiles after warmup (a relay compile is minutes — any frame
+        # > 5x the soak median trips it) and no live-buffer growth across
+        # episodes (client-side leak proxy; the KV cache/vision cache are
+        # reused, so steady state is flat).
+        try:
+            soak_times, soak_seed = [], last_out
+            n0 = len(jax.live_arrays())
+            for _ep in range(10):
+                ts_ep, _, _, soak_seed = episode(
+                    spec_cl, TYPICAL_TOKENS, typ_streams, seed=soak_seed)
+                soak_times.extend(ts_ep)
+            n1 = len(jax.live_arrays())
+            st = np.asarray(soak_times)
+            med = float(np.median(st))
+            extras["soak_episodes"] = 10
+            extras["soak_frames"] = len(soak_times)
+            extras["soak_p50_frame_ms"] = round(med * 1e3, 1)
+            extras["soak_p95_frame_ms"] = round(
+                float(np.percentile(st, 95)) * 1e3, 1)
+            extras["soak_max_frame_ms"] = round(float(st.max()) * 1e3, 1)
+            extras["soak_hz"] = round(
+                ACTIONS_PER_DECODE * len(st) / float(st.sum()), 2)
+            extras["soak_no_recompiles"] = bool(st.max() < 5 * med)
+            extras["soak_live_arrays_delta"] = n1 - n0
+        except Exception as e:  # pragma: no cover
+            extras["soak_error"] = str(e)[:120]
+
         # --- measured 128-token episode (round-2 comparable)
         streams128 = [frame_stream(f, DECODE_TOKENS) for f in range(FRAMES)]
         vc.hits = vc.misses = 0
