@@ -74,3 +74,46 @@ def test_paged_sharded_same_tokens(setup, mesh_shape):
     assert ref.keys() == got.keys()
     for rid in ref:
         np.testing.assert_array_equal(got[rid], ref[rid])
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 8), (1, 4, 2)])
+def test_tree_engine_sharded_same_tokens(mesh_shape):
+    """Product-tree verification on a TP/FSDP mesh: the tree branch's
+    ancestor-mask forward and the accepted-path K/V compaction
+    (fori_loop of dynamic_update_slice rows over the SHARDED cache) must
+    reproduce the single-device stream token-for-token AND step-for-step
+    (teacher forcing makes step counts weight/ulp-independent)."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg = tiny_vlm_config(vocab_size=2048)
+    params = init_vlm_params(jax.random.PRNGKey(1), cfg)
+    tok = ByteLevelTokenizer(2048)
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(5)
+    pixels = {name: jnp.asarray(rng.normal(
+        size=(1, v.img_size, v.img_size, 3)).astype(np.float32))
+        for name, v in cfg.vision}
+    patches = {"patches": encode_frame(params, cfg, pixels)}
+    ids = tok.encode("MOVEMENT:\nmove left 2 steps;\nPOLICIES: ",
+                     add_special_tokens=False)
+    a = rng.uniform(-0.5, 0.5, size=7)
+    width = 2.0 / (atok.n_bins - 1)
+    for _ in range(4):
+        ids.extend(int(t) for t in atok.encode_to_ids(a))
+        a = np.clip(a + rng.integers(-1, 2, 7) * width, -1, 1)
+    stream = np.asarray(ids, np.int32)
+    n = len(stream)
+
+    def run(p):
+        eng = SpeculativeEngine(cfg, p, tok,
+                                options=GenerateOptions(eos_id=tok.eos_id,
+                                                        max_new_tokens=n),
+                                draft_k=12, action_tree=(5, 3))
+        out = eng.generate_ids(PROMPTS, patches, max_new_tokens=n,
+                               forced_tokens=stream)
+        return np.asarray(out), eng.last_steps
+
+    ref, ref_steps = run(params)
+    got, got_steps = run(shard_params(params, make_mesh(mesh_shape)))
+    np.testing.assert_array_equal(got, ref)
+    assert got_steps == ref_steps
