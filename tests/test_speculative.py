@@ -792,3 +792,30 @@ def test_tree_cuts_forced_bin_stream_steps(setup_actions):
     # tokens the tree should land FAR below stride (sim predicts ~2x fewer
     # bin-region steps); keep slack for boundary effects
     assert steps_tree <= steps_off - 15, (steps_tree, steps_off)
+
+
+def test_tree_with_quantized_cache_exact_and_same_steps(setup_actions):
+    """bench.py runs the tree engine with an int8-quantized KV cache: the
+    accepted-path compaction must move the k_scale/v_scale rows along with
+    k/v. Teacher forcing makes the output exact and the step count
+    independent of cache precision — both must match the bf16-cache run."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg, params, tok = setup_actions
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(4)
+    stream = _gcot_like_stream(tok, atok, rng)
+    n = len(stream)
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=n)
+    pixels = _pixels(cfg, rng, 1)
+
+    def run(quantized):
+        eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=12,
+                                action_tree=(5, 3),
+                                quantized_cache=quantized)
+        out = eng.generate_ids(["In: act\nOut:"], pixels, max_new_tokens=n,
+                               forced_tokens=stream)
+        np.testing.assert_array_equal(np.asarray(out[0][:n]), stream)
+        return eng.last_steps
+
+    assert run(True) == run(False)
