@@ -35,6 +35,11 @@ def main():
                     help="optional comma list of bq:bk:bq_bwd:bk_bwd "
                          "overrides swept for the pallas impls (empty = "
                          "the adaptive default)")
+    ap.add_argument("--inner", type=int, default=1,
+                    help="chain the attention op N times inside one jit "
+                         "(output feeds the next call's q) and report "
+                         "per-op time — the relay's ~26-28 ms d2h fetch "
+                         "floor otherwise swamps sub-ms kernel deltas")
     args = ap.parse_args()
 
     import jax
@@ -66,18 +71,29 @@ def main():
                                    block_k_bwd=bkb,
                                    fused_bwd=(impl == "pallas_fused"))
 
+        N = args.inner
+
         for impl in args.impls.split(","):
           for blocks in (block_variants if impl != "xla" else [None]):
 
+            def chain(q, k, v, impl, blocks):
+                def body(qc, _):
+                    o = attn(qc, k, v, impl, blocks)
+                    # renormalize so the chain can't overflow bf16
+                    return (o / jnp.maximum(
+                        jnp.max(jnp.abs(o)), 1.0)).astype(qc.dtype), None
+                out, _ = jax.lax.scan(body, q, None, length=N)
+                return out
+
             @jax.jit
             def fwd(q, k, v, impl=impl, blocks=blocks):
-                return attn(q, k, v, impl, blocks).sum()
+                return chain(q, k, v, impl, blocks).astype(jnp.float32).sum()
 
             @jax.jit
             def bwd(q, k, v, impl=impl, blocks=blocks):
                 def loss(q, k, v):
-                    return attn(q, k, v, impl,
-                                blocks).astype(jnp.float32).sum()
+                    return chain(q, k, v, impl,
+                                 blocks).astype(jnp.float32).sum()
                 return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
             def t_of(fn):
@@ -97,14 +113,15 @@ def main():
                     ts.append(time.perf_counter() - t0)
                 return float(np.median(ts))
 
-            t_f, t_b = t_of(fwd), t_of(bwd)
+            t_f, t_b = t_of(fwd) / N, t_of(bwd) / N
             print(json.dumps({
                 "bench": "flash_kernel", "B": B, "L": L, "impl": impl,
                 "blocks": (":".join(str(x) for x in blocks)
                            if blocks else "adaptive"),
-                "fwd_ms": round(t_f * 1e3, 2),
-                "fwd_bwd_ms": round(t_b * 1e3, 2),
-                "bwd_only_ms": round((t_b - t_f) * 1e3, 2),
+                "inner": N,
+                "fwd_ms": round(t_f * 1e3, 3),
+                "fwd_bwd_ms": round(t_b * 1e3, 3),
+                "bwd_only_ms": round((t_b - t_f) * 1e3, 3),
                 "device": str(jax.devices()[0]),
             }), flush=True)
 
