@@ -24,6 +24,7 @@ against the v5e bf16 peak (197 TFLOP/s), under two conventions:
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import sys
 import time
@@ -59,6 +60,21 @@ def main():
                     help="compile only and print XLA's memory analysis "
                          "(argument/output/temp/peak bytes) without "
                          "executing — for sizing 7B configs against HBM")
+    ap.add_argument("--ladder", default="",
+                    help="comma list of B:T fallbacks tried IN-PROCESS "
+                         "after a runtime OOM (e.g. '2:256,2:192,1:192'). "
+                         "A crashed PROCESS leaves its 14 GB resident on "
+                         "the relay for ~40 min (CLAUDE.md), so cross-"
+                         "process retry ladders poison themselves; within "
+                         "one process, failed-execution buffers free "
+                         "immediately. Everything (params, state, step) is "
+                         "rebuilt per rung — a failed donated execution may "
+                         "have consumed the state.")
+    ap.add_argument("--probe_free", action="store_true",
+                    help="after state creation, binary-search the largest "
+                         "allocatable buffer and report it (in-process "
+                         "probes free instantly) — measures the true temp "
+                         "headroom the step will see")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +83,6 @@ def main():
     from emmax_tpu.models.llama import IGNORE_INDEX, LlamaConfig
     from emmax_tpu.models.vlm import (VLMConfig, emma_x_vlm_config,
                                       init_vlm_params)
-    from emmax_tpu.models.vit import DINOV2_L_REG4, SIGLIP_SO400M
     from emmax_tpu.training.train_state import (create_train_state,
                                                 make_optimizer,
                                                 trainable_mask)
@@ -90,148 +105,180 @@ def main():
                         arch_specifier=base.arch_specifier)
         stage = "vla-train"
 
-    B, T = args.batch, args.text_len
-    print(f"# config={args.config} stage={stage} attn={args.attn} "
-          f"B={B} text_len={T}", file=sys.stderr)
-
     def mark(msg):
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
               flush=True)
 
-    mark("init params")
-    params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    jax.block_until_ready(params)
-    mark("params ready")
-    n_params = sum(int(np.prod(l.shape))
-                   for l in jax.tree_util.tree_leaves(params))
-    # per-component counts NOW — after state creation the old `params`
-    # buffers must be dead (see donate note below)
-    n_llm = sum(int(np.prod(l.shape)) for l in
-                jax.tree_util.tree_leaves(params["llm"]))
-    n_vis = sum(int(np.prod(l.shape)) for l in
-                jax.tree_util.tree_leaves(params["vision"]))
-    n_proj = sum(int(np.prod(l.shape)) for l in
-                 jax.tree_util.tree_leaves(params["projector"]))
-    tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
-                           max_grad_norm=1.0, lr_scheduler_type="constant",
-                           total_steps=100, stage=stage)
-    mark("creating train state (one jitted init)")
-    # one jitted init: eager tx.init dispatches/compiles per leaf shape,
-    # which costs many minutes on the remote-compile relay. DONATE the
-    # params: without donation the jit materializes a second 14 GiB param
-    # tree (lazily — the relay defers buffer allocation, so the duplicate
-    # only surfaces as a RESOURCE_EXHAUSTED at the first train-step
-    # execution, 2 GiB past a 15.75 GiB limit with zero-size temps)
-    state = jax.jit(lambda pp: create_train_state(pp, tx),
-                    donate_argnums=(0,))(params)
-    del params
-    jax.block_until_ready(state.opt_state)
-    mark("train state ready")
-    step = jit_train_step(make_train_step(
-        cfg, tx, attn_impl=args.attn,
-        remat=False if args.remat == "none" else args.remat,
-        # frozen-vision stages skip the tower backward entirely; the
-        # freeze mask excludes fully-frozen leaves from differentiation so
-        # no frozen-param-sized gradient tree is ever materialized
-        stop_vision_gradient=(stage in ("align", "vla-train")),
-        freeze_mask=trainable_mask(state.params, stage),
-        compute_dtype=jnp.bfloat16,
-        ce_chunk=args.ce_chunk or None))
+    def probe_free(limit_gb=3.0):
+        """Largest allocatable buffer right now (in-process frees are
+        immediate, so this is safe to run before the step)."""
+        lo, hi, got = 0.0, limit_gb, 0.0
+        for _ in range(6):
+            mid = (lo + hi) / 2
+            try:
+                x = jnp.ones((max(int(mid * 2**30 // 2), 128),),
+                             jnp.bfloat16) * 2
+                _ = float(x[-1])            # force materialization
+                del x
+                got, lo = mid, mid
+            except Exception:
+                hi = mid
+        return got
 
-    rng = np.random.default_rng(0)
-    ids = rng.integers(3, 30000, size=(B, T)).astype(np.int32)
-    ids[:, 0] = 1
-    labels = ids.copy()
-    labels[:, : T // 3] = IGNORE_INDEX
-    batch = {
-        "input_ids": jnp.asarray(ids),
-        "attention_mask": jnp.ones((B, T), jnp.bool_),
-        "labels": jnp.asarray(labels),
-        "pixel_values": {name: jnp.asarray(rng.normal(
-            size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
-            .astype(jnp.bfloat16) for name, v in cfg.vision},
-    }
+    def run_config(B, T):
+        print(f"# config={args.config} stage={stage} attn={args.attn} "
+              f"B={B} text_len={T}", file=sys.stderr)
+        mark("init params")
+        params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        jax.block_until_ready(params)
+        mark("params ready")
+        n_params = sum(int(np.prod(l.shape))
+                       for l in jax.tree_util.tree_leaves(params))
+        # per-component counts NOW — after state creation the old `params`
+        # buffers must be dead (see donate note below)
+        n_llm = sum(int(np.prod(l.shape)) for l in
+                    jax.tree_util.tree_leaves(params["llm"]))
+        n_vis = sum(int(np.prod(l.shape)) for l in
+                    jax.tree_util.tree_leaves(params["vision"]))
+        n_proj = sum(int(np.prod(l.shape)) for l in
+                     jax.tree_util.tree_leaves(params["projector"]))
+        tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
+                               max_grad_norm=1.0,
+                               lr_scheduler_type="constant",
+                               total_steps=100, stage=stage)
+        mark("creating train state (one jitted init)")
+        # one jitted init: eager tx.init dispatches/compiles per leaf shape,
+        # which costs many minutes on the remote-compile relay. DONATE the
+        # params: without donation the jit materializes a second 14 GiB
+        # param tree (lazily — the relay defers buffer allocation, so the
+        # duplicate only surfaces as a RESOURCE_EXHAUSTED at the first
+        # train-step execution, 2 GiB past a 15.75 GiB limit)
+        state = jax.jit(lambda pp: create_train_state(pp, tx),
+                        donate_argnums=(0,))(params)
+        del params
+        jax.block_until_ready(state.opt_state)
+        # drop the init/state-creation executables: compiled programs occupy
+        # HBM, and the 7B align step runs within ~300 MB of the 15.75 GB
+        # limit — every resident byte matters
+        jax.clear_caches()
+        mark("train state ready")
+        if args.probe_free:
+            mark(f"probe: largest allocatable after state = "
+                 f"{probe_free():.2f} GB")
+        step = jit_train_step(make_train_step(
+            cfg, tx, attn_impl=args.attn,
+            remat=False if args.remat == "none" else args.remat,
+            # frozen-vision stages skip the tower backward entirely; the
+            # freeze mask excludes fully-frozen leaves from differentiation
+            # so no frozen-param-sized gradient tree is ever materialized
+            stop_vision_gradient=(stage in ("align", "vla-train")),
+            freeze_mask=trainable_mask(state.params, stage),
+            compute_dtype=jnp.bfloat16,
+            ce_chunk=args.ce_chunk or None))
 
-    if args.dry_mem:
-        mark("lowering + compiling (dry_mem)")
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            print(f"# device bytes_limit={stats.get('bytes_limit')} "
-                  f"in_use={stats.get('bytes_in_use')}", file=sys.stderr)
-        except Exception as e:
-            print(f"# memory_stats unavailable: {e}", file=sys.stderr)
-        compiled = step.lower(state, batch).compile()
-        ma = compiled.memory_analysis()
+        rng = np.random.default_rng(0)
+        ids = rng.integers(3, 30000, size=(B, T)).astype(np.int32)
+        ids[:, 0] = 1
+        labels = ids.copy()
+        labels[:, : T // 3] = IGNORE_INDEX
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((B, T), jnp.bool_),
+            "labels": jnp.asarray(labels),
+            "pixel_values": {name: jnp.asarray(rng.normal(
+                size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
+                .astype(jnp.bfloat16) for name, v in cfg.vision},
+        }
+
+        if args.dry_mem:
+            mark("lowering + compiling (dry_mem)")
+            compiled = step.lower(state, batch).compile()
+            ma = compiled.memory_analysis()
+            print(json.dumps({
+                "bench": "train_step_dry_mem", "config": args.config,
+                "batch": B, "remat": args.remat, "attn": args.attn,
+                "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+                "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
+                "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+                "alias_gb": round(ma.alias_size_in_bytes / 2**30, 3),
+                "peak_gb": round((ma.argument_size_in_bytes
+                                  + ma.output_size_in_bytes
+                                  + ma.temp_size_in_bytes
+                                  - ma.alias_size_in_bytes) / 2**30, 3),
+            }))
+            return
+        mark("compiling train step")
+        state, m = step(state, batch)          # compile
+        _ = float(m["loss"])
+        mark("compiled; timing")
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            state, m = step(state, batch)
+            _ = float(m["loss"])               # forces the fetch
+            times.append(time.perf_counter() - t0)
+        t_med = float(np.median(times))
+
+        # --- FLOPs accounting
+        P = cfg.num_patches
+        F = T + P                              # fused LLM sequence
+        tok_llm = B * F
+        tok_vis = B * (P + 8)                  # + prefix tokens, approx
+        # matmul flops: fwd 2N/token; dW bwd 2N (trainable only); dx bwd 2N
+        # vis_bwd must match stop_vision_gradient above: frozen-vision
+        # stages (align AND vla-train) never run the tower backward, so
+        # counting it would inflate mfu_hw for the headline proxy config
+        trainable_llm = 0.0 if stage == "align" else n_llm
+        vis_bwd = 0.0 if stage in ("align", "vla-train") \
+            else 4 * n_vis * tok_vis
+        fwd = 2 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
+        bwd = (2 * n_llm * tok_llm            # dx through llm
+               + 2 * trainable_llm * tok_llm  # dW
+               + vis_bwd
+               + 4 * n_proj * B * P)
+        attn = 4 * B * F * F * cfg.llm.dim    # qk + av, fwd
+        # remat recompute actually executed: full = the whole layer fwd;
+        # dots = elementwise only (negligible matmuls); none = nothing
+        remat_extra = fwd if args.remat == "full" else 0.0
+        flops_6nd = 6 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
+        flops_hw = fwd + bwd + remat_extra + 3 * attn
+
         print(json.dumps({
-            "bench": "train_step_dry_mem", "config": args.config,
-            "batch": B, "remat": args.remat, "attn": args.attn,
-            "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
-            "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
-            "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
-            "alias_gb": round(ma.alias_size_in_bytes / 2**30, 3),
-            "peak_gb": round((ma.argument_size_in_bytes
-                              + ma.output_size_in_bytes
-                              + ma.temp_size_in_bytes
-                              - ma.alias_size_in_bytes) / 2**30, 3),
+            "bench": "train_step",
+            "config": args.config,
+            "stage": stage,
+            "attn": args.attn,
+            "remat": args.remat,
+            "batch": B,
+            "text_len": T,
+            "fused_seq": F,
+            "params_b": round(n_params / 1e9, 3),
+            "step_ms": round(t_med * 1e3, 1),
+            "steps_per_s": round(1.0 / t_med, 3),
+            "tokens_per_s": round(tok_llm / t_med, 1),
+            "examples_per_s": round(B / t_med, 2),
+            "mfu_6nd": round(flops_6nd / t_med / V5E_BF16_PEAK, 4),
+            "mfu_hw": round(flops_hw / t_med / V5E_BF16_PEAK, 4),
+            "device": str(jax.devices()[0]),
         }))
-        return
-    mark("compiling train step")
-    state, m = step(state, batch)          # compile
-    _ = float(m["loss"])
-    mark("compiled; timing")
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        state, m = step(state, batch)
-        _ = float(m["loss"])               # forces the fetch
-        times.append(time.perf_counter() - t0)
-    t_med = float(np.median(times))
 
-    # --- FLOPs accounting (component counts captured before state creation)
-    P = cfg.num_patches
-    F = T + P                              # fused LLM sequence
-    tok_llm = B * F
-    tok_vis = B * (P + 8)                  # + prefix tokens, approx
-    # matmul flops: fwd 2N per token; dW bwd 2N (trainable only); dx bwd 2N
-    # vis_bwd must match stop_vision_gradient above: frozen-vision stages
-    # (align AND vla-train) never run the tower backward, so counting it
-    # would inflate mfu_hw for the headline proxy config
-    if stage == "align":
-        trainable_llm = 0.0
-    else:
-        trainable_llm = n_llm
-    vis_bwd = 0.0 if stage in ("align", "vla-train") \
-        else 4 * n_vis * tok_vis
-    fwd = 2 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
-    bwd = (2 * n_llm * tok_llm            # dx through llm
-           + 2 * trainable_llm * tok_llm  # dW
-           + vis_bwd
-           + 4 * n_proj * B * P)
-    attn = 4 * B * F * F * cfg.llm.dim    # qk + av, fwd
-    # remat recompute actually executed: full = the whole layer fwd;
-    # dots = elementwise only (negligible matmul FLOPs); none = nothing
-    remat_extra = fwd if args.remat == "full" else 0.0
-    flops_6nd = 6 * (n_llm * tok_llm + n_vis * tok_vis + n_proj * B * P)
-    flops_hw = fwd + bwd + remat_extra + 3 * attn
-
-    out = {
-        "bench": "train_step",
-        "config": args.config,
-        "stage": stage,
-        "attn": args.attn,
-        "remat": args.remat,
-        "batch": B,
-        "fused_seq": F,
-        "params_b": round(n_params / 1e9, 3),
-        "step_ms": round(t_med * 1e3, 1),
-        "steps_per_s": round(1.0 / t_med, 3),
-        "tokens_per_s": round(tok_llm / t_med, 1),
-        "examples_per_s": round(B / t_med, 2),
-        "mfu_6nd": round(flops_6nd / t_med / V5E_BF16_PEAK, 4),
-        "mfu_hw": round(flops_hw / t_med / V5E_BF16_PEAK, 4),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(out))
+    rungs = [(args.batch, args.text_len)]
+    if args.ladder:
+        rungs += [tuple(int(x) for x in r.split(":"))
+                  for r in args.ladder.split(",")]
+    for i, (B, T) in enumerate(rungs):
+        try:
+            run_config(B, T)
+            return
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == len(rungs) - 1:
+                raise
+            # drop every device buffer this rung held (the except block's
+            # exception ref dies here, releasing the frames + locals),
+            # then retry smaller — same process, so frees are immediate
+            mark(f"rung B={B} T={T} OOM at runtime; rebuilding smaller")
+        jax.clear_caches()
+        gc.collect()
 
 
 if __name__ == "__main__":
