@@ -104,7 +104,9 @@ def main(cfg: TrainConfig) -> None:
 
     # --- model + tokenizer ---
     if cfg.smoke_test:
-        tokenizer = ByteLevelTokenizer(vocab_size=512)
+        # >= 516 so the 256 action bins fit above the byte region
+        # (ActionTokenizer validates this since the round-3 boundary fix)
+        tokenizer = ByteLevelTokenizer(vocab_size=1024)
         # model vocab covers the tokenizer's padded vocab (incl. <PAD>)
         vlm_cfg = tiny_vlm_config(vocab_size=tokenizer.padded_vocab_size)
         transforms = {name: ImageTransformConfig(size=v.img_size)
