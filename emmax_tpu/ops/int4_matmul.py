@@ -315,6 +315,12 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False,
             flops=2 * M * D * F,
             bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
             transcendentals=0),
+        # small groups at prefill shapes (bm=128 x K=11008, 86 unrolled
+        # groups at g64) exceed Mosaic's default scoped-vmem stack since
+        # the round-4 mid-rise epilogue added a rowsum temp per group;
+        # physical VMEM is 128 MB — raise the scoped limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x2d, q4, scale)
 
@@ -357,6 +363,10 @@ def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
             flops=2 * M * D * F,
             bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
             transcendentals=0),
+        # see the non-stacked call: small groups + long K need more than
+        # the default scoped-vmem stack after the mid-rise epilogue
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x2d, q4, scale)
 
