@@ -200,6 +200,7 @@ def llama_forward(
     logits_dtype=jnp.float32,
     return_hidden: bool = False,
     chunk_attn_mask: Optional[jax.Array] = None,
+    scan_weight_barrier: bool = False,
 ) -> Tuple[jax.Array, Optional[Params]]:
     """Returns (logits [B, L, V], updated_kv_cache_or_None).
 
@@ -211,6 +212,11 @@ def llama_forward(
     instead of logits — for memory-lean heads that chunk the lm_head matmul
     (``chunked_ce_loss_and_preds``): fp32 [B, L, vocab] logits (+ their
     cotangent) dominate train-step temps at 7B scale.
+
+    ``scan_weight_barrier`` (uncached path only): fence per-layer weight
+    slices inside the layer scan so reverse-mode AD cannot hoist full-stack
+    layout-transposed weight copies (see the body comment) — pass True when
+    differentiating through this function at large scale.
 
     ``chunk_attn_mask`` ([L, L] bool, cache path only): ancestor matrix for
     speculative-TREE verification — the L chunk tokens attend past slots
@@ -245,6 +251,21 @@ def llama_forward(
         inputs_embeds = constrain_batch_sharded(inputs_embeds)
 
         def body(h, xs):
+            if scan_weight_barrier:
+                # Fence the per-layer weight slices so XLA cannot rewrite
+                # transpose(dynamic-slice(W)) -> dynamic-slice(transpose(W))
+                # and hoist a layout-transposed copy of the WHOLE stacked
+                # weight out of the backward while-loop. At 7B the hoisted
+                # copies of wq/wk/wv are 3 x 1.00 GB of HLO temps — the
+                # difference between the align-stage step fitting one 16 GB
+                # v5e chip or not. The total transpose work is unchanged
+                # (per-layer slices are transposed once per step either
+                # way); only the residency shrinks. Training-path only:
+                # serving prefill keeps its measured executables untouched.
+                xs = {k: (jax.lax.optimization_barrier(v)
+                          if isinstance(v, jax.Array) and v.ndim >= 2
+                          else v)
+                      for k, v in xs.items()}
             h = _layer(h, xs, cos, sin, mask, cfg, attn_impl)
             return h, None
 

@@ -97,7 +97,8 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
                 mask: Optional[jax.Array] = None,
                 positions: Optional[jax.Array] = None,
                 kv_cache: Optional[Params] = None, attn_impl: str = "xla",
-                remat: bool = False, logits_dtype=jnp.float32
+                remat: bool = False, logits_dtype=jnp.float32,
+                scan_weight_barrier: bool = False
                 ) -> Tuple[jax.Array, Optional[Params]]:
     """Same contract as ``llama_forward``."""
     B, L, D = inputs_embeds.shape
@@ -114,6 +115,12 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
     new_cache = None
     if kv_cache is None:
         def body(h, p):
+            if scan_weight_barrier:
+                # see llama.py: fence weight slices so backward can't hoist
+                # full-stack layout-transposed copies out of the layer scan
+                p = {k: (jax.lax.optimization_barrier(v)
+                         if isinstance(v, jax.Array) and v.ndim >= 2 else v)
+                     for k, v in p.items()}
             x = layer_norm(h, p["ln_scale"], p["ln_bias"], cfg.norm_eps)
             q = (mm(x, p["wq"]) + p["bq"]).reshape(B, L, cfg.n_heads, cfg.head_dim)
             k = (mm(x, p["wk"]) + p["bk"]).reshape(B, L, cfg.n_kv_heads, cfg.head_dim)

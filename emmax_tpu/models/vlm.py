@@ -170,6 +170,7 @@ def vlm_forward(
     stop_vision_gradient: bool = False,
     multimodal_mask: Optional[jax.Array] = None,  # [B] bool; None = all mm
     ce_chunk: Optional[int] = None,
+    scan_weight_barrier: bool = False,
 ):
     """Multimodal forward. Returns (logits, loss_or_None, new_cache_or_None).
 
@@ -200,13 +201,14 @@ def vlm_forward(
         h, new_cache = llm_apply(
             params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
             kv_cache=kv_cache, attn_impl=attn_impl, remat=remat,
-            return_hidden=True)
+            return_hidden=True, scan_weight_barrier=scan_weight_barrier)
         loss, preds = chunked_ce_loss_and_preds(
             h, params["llm"]["lm_head"], flabels, chunk=ce_chunk)
         return preds, loss, new_cache
     logits, new_cache = llm_apply(
         params["llm"], cfg.llm, embeds, mask=fmask, positions=positions,
-        kv_cache=kv_cache, attn_impl=attn_impl, remat=remat)
+        kv_cache=kv_cache, attn_impl=attn_impl, remat=remat,
+        scan_weight_barrier=scan_weight_barrier)
     loss = cross_entropy_loss(logits, flabels) if flabels is not None else None
     return logits, loss, new_cache
 

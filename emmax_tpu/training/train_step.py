@@ -103,7 +103,13 @@ def make_train_step(cfg: VLMConfig, tx: optax.GradientTransformation, *,
             attn_impl=attn_impl, remat=remat,
             stop_vision_gradient=stop_vision_gradient,
             multimodal_mask=batch.get("multimodal_mask"),
-            ce_chunk=ce_chunk)
+            ce_chunk=ce_chunk,
+            # fence per-layer weight slices in the llm layer scan: without
+            # it reverse-mode AD hoists layout-transposed copies of the
+            # WHOLE stacked wq/wk/wv (3 x 1.00 GB HLO temps at 7B) out of
+            # the backward loop — the 7B align step then exceeds 16 GB.
+            # Identity on values; same total transpose work per step.
+            scan_weight_barrier=True)
         # fused labels for metrics: recompute cheaply from logits shape
         P = logits.shape[1] - batch["input_ids"].shape[1]
         fused_labels = jnp.concatenate(

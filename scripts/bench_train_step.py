@@ -26,11 +26,19 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Persistent compilation cache (same dir bench.py arms): the 7B align-step
+# compile is minutes on the remote relay; pay it once across runs/rounds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 
@@ -60,6 +68,12 @@ def main():
                     help="compile only and print XLA's memory analysis "
                          "(argument/output/temp/peak bytes) without "
                          "executing — for sizing 7B configs against HBM")
+    ap.add_argument("--abstract", action="store_true",
+                    help="with --dry_mem: lower from ShapeDtypeStructs "
+                         "(jax.eval_shape) so NO device buffer is ever "
+                         "created — a 14 GB param init left by a dry run "
+                         "poisons the relay's HBM for ~40 min (CLAUDE.md); "
+                         "abstract dry runs are free and can iterate")
     ap.add_argument("--ladder", default="",
                     help="comma list of B:T fallbacks tried IN-PROCESS "
                          "after a runtime OOM (e.g. '2:256,2:192,1:192'). "
@@ -129,8 +143,16 @@ def main():
         print(f"# config={args.config} stage={stage} attn={args.attn} "
               f"B={B} text_len={T}", file=sys.stderr)
         mark("init params")
-        params = init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-        jax.block_until_ready(params)
+        if args.abstract:
+            if not args.dry_mem:
+                raise SystemExit("--abstract requires --dry_mem")
+            params = jax.eval_shape(
+                lambda: init_vlm_params(jax.random.PRNGKey(0), cfg,
+                                        jnp.bfloat16))
+        else:
+            params = init_vlm_params(jax.random.PRNGKey(0), cfg,
+                                     jnp.bfloat16)
+            jax.block_until_ready(params)
         mark("params ready")
         n_params = sum(int(np.prod(l.shape))
                        for l in jax.tree_util.tree_leaves(params))
@@ -153,16 +175,21 @@ def main():
         # param tree (lazily — the relay defers buffer allocation, so the
         # duplicate only surfaces as a RESOURCE_EXHAUSTED at the first
         # train-step execution, 2 GiB past a 15.75 GiB limit)
-        state = jax.jit(lambda pp: create_train_state(pp, tx),
-                        donate_argnums=(0,))(params)
-        del params
-        jax.block_until_ready(state.opt_state)
+        if args.abstract:
+            state = jax.eval_shape(lambda pp: create_train_state(pp, tx),
+                                   params)
+            del params
+        else:
+            state = jax.jit(lambda pp: create_train_state(pp, tx),
+                            donate_argnums=(0,))(params)
+            del params
+            jax.block_until_ready(state.opt_state)
         # drop the init/state-creation executables: compiled programs occupy
         # HBM, and the 7B align step runs within ~300 MB of the 15.75 GB
         # limit — every resident byte matters
         jax.clear_caches()
         mark("train state ready")
-        if args.probe_free:
+        if args.probe_free and not args.abstract:
             mark(f"probe: largest allocatable after state = "
                  f"{probe_free():.2f} GB")
         step = jit_train_step(make_train_step(
@@ -181,14 +208,25 @@ def main():
         ids[:, 0] = 1
         labels = ids.copy()
         labels[:, : T // 3] = IGNORE_INDEX
-        batch = {
-            "input_ids": jnp.asarray(ids),
-            "attention_mask": jnp.ones((B, T), jnp.bool_),
-            "labels": jnp.asarray(labels),
-            "pixel_values": {name: jnp.asarray(rng.normal(
-                size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
-                .astype(jnp.bfloat16) for name, v in cfg.vision},
-        }
+        if args.abstract:
+            batch = {
+                "input_ids": jax.ShapeDtypeStruct((B, T), jnp.int32),
+                "attention_mask": jax.ShapeDtypeStruct((B, T), jnp.bool_),
+                "labels": jax.ShapeDtypeStruct((B, T), jnp.int32),
+                "pixel_values": {
+                    name: jax.ShapeDtypeStruct(
+                        (B, v.img_size, v.img_size, 3), jnp.bfloat16)
+                    for name, v in cfg.vision},
+            }
+        else:
+            batch = {
+                "input_ids": jnp.asarray(ids),
+                "attention_mask": jnp.ones((B, T), jnp.bool_),
+                "labels": jnp.asarray(labels),
+                "pixel_values": {name: jnp.asarray(rng.normal(
+                    size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
+                    .astype(jnp.bfloat16) for name, v in cfg.vision},
+            }
 
         if args.dry_mem:
             mark("lowering + compiling (dry_mem)")

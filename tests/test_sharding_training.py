@@ -108,6 +108,34 @@ def test_remat_policies_match_no_remat():
                                        rtol=2e-3, atol=1e-4)
 
 
+def test_scan_weight_barrier_is_identity():
+    """The layer-scan weight fence (scan_weight_barrier — stops XLA from
+    hoisting full-stack layout-transposed wq/wk/wv copies out of the 7B
+    backward loop) must be a pure optimization hint: loss AND grads
+    bit-identical with it on or off, in f32 with no remat reordering."""
+    from emmax_tpu.models.vlm import vlm_forward
+
+    cfg = tiny_vlm_config()
+    params = init_vlm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    batch = _make_batch(cfg, rng, B=2)
+
+    def loss_fn(p, barrier):
+        _, loss, _ = vlm_forward(
+            p, cfg, batch["input_ids"], batch["pixel_values"],
+            mask=batch["attention_mask"], labels=batch["labels"],
+            remat=True, scan_weight_barrier=barrier)
+        return loss
+
+    vg = jax.value_and_grad(loss_fn)
+    l_off, g_off = jax.jit(lambda p: vg(p, False))(params)
+    l_on, g_on = jax.jit(lambda p: vg(p, True))(params)
+    assert float(l_on) == float(l_off)
+    for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                    jax.tree_util.tree_leaves(g_on)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_accumulation_matches_full_batch():
     cfg = tiny_vlm_config()
     params = init_vlm_params(jax.random.PRNGKey(0), cfg)
