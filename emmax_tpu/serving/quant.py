@@ -61,22 +61,34 @@ def _quantize_lm_head(lm_head, quant_fn):
     return quant_fn(lm_head)
 
 
-def quantize_vlm_params(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
-    """VLM tree with the LLM subtree quantized (jnp; see *_np for host-side)."""
+def quantize_vlm_params(params: Dict[str, Any], bits: int = 8,
+                        group: int | None = None) -> Dict[str, Any]:
+    """VLM tree with the LLM subtree quantized (jnp; see *_np for host-side).
+
+    ``group`` (int4 only) overrides the quantization group size along the
+    input dim — smaller groups trade scale-row traffic for accuracy (see
+    docs/BENCHMARKS.md quant-quality table: g64 is the quality-tilted
+    option, g128 the throughput default).
+    """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if group is not None and bits != 4:
+        raise ValueError("group is only meaningful for bits=4")
     out = dict(params)
     if bits == 4:
-        from emmax_tpu.ops.int4_matmul import quantize_weight_int4
+        from emmax_tpu.ops.int4_matmul import (DEFAULT_GROUP,
+                                               quantize_weight_int4)
+
+        def q4(w):
+            return quantize_weight_int4(w, group=group or DEFAULT_GROUP)
 
         llm = dict(params["llm"])
         layers = dict(llm["layers"])
         for key in QUANT_KEYS:
             if key in layers and not isinstance(layers[key], dict):
-                layers[key] = quantize_weight_int4(layers[key])
+                layers[key] = q4(layers[key])
         llm["layers"] = layers
-        llm["lm_head"] = _quantize_lm_head(llm.get("lm_head"),
-                                           quantize_weight_int4)
+        llm["lm_head"] = _quantize_lm_head(llm.get("lm_head"), q4)
         out["llm"] = llm
     else:
         out["llm"] = quantize_llm_params(params["llm"])

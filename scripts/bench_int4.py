@@ -6,7 +6,7 @@ costs). Run on the chip: `python scripts/bench_int4.py` (one TPU process
 at a time). History: r2 int32-shift-pair unpack 138.6 tok/s; r3
 biased-low-nibble unpack 153.6 tok/s (see docs/BENCHMARKS.md).
 """
-import sys, time
+import argparse, sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np, jax, jax.numpy as jnp
@@ -16,9 +16,16 @@ from emmax_tpu.serving.engine import GenerateOptions, ServingEngine
 from emmax_tpu.vla.tokenizer import ByteLevelTokenizer
 from emmax_tpu.ops.image import dinosiglip_transform_configs, preprocess_for_towers
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--group", type=int, default=128,
+                help="int4 quantization group size (g64 = quality-tilted, "
+                     "g128 = throughput default; A/B per VERDICT r3 item 4)")
+args = ap.parse_args()
+
 cfg = emma_x_vlm_config()
 shapes = jax.eval_shape(lambda: init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
-q4_shapes = jax.eval_shape(lambda p: quantize_vlm_params(p, bits=4), shapes)
+q4_shapes = jax.eval_shape(
+    lambda p: quantize_vlm_params(p, bits=4, group=args.group), shapes)
 q4 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), q4_shapes)
 tok = ByteLevelTokenizer()
 rng = np.random.default_rng(0)
@@ -40,5 +47,5 @@ def t(n):
 
 t128, t16 = t(128), t(16)
 per = (t128 - t16) / 112
-print(f"int4 decode: {1/per:6.1f} tok/s ({per*1e3:.2f} ms/tok); "
+print(f"int4 g{args.group} decode: {1/per:6.1f} tok/s ({per*1e3:.2f} ms/tok); "
       f"weights 3.5GB -> {3.5/per:5.0f} GB/s eff", flush=True)

@@ -75,15 +75,16 @@ def main():
                          "poisons the relay's HBM for ~40 min (CLAUDE.md); "
                          "abstract dry runs are free and can iterate")
     ap.add_argument("--ladder", default="",
-                    help="comma list of B:T fallbacks tried IN-PROCESS "
-                         "after a runtime OOM (e.g. '2:256,2:192,1:192'). "
+                    help="comma list of extra B:T rungs (e.g. "
+                         "'2:256,2:192'); all rungs run ASCENDING by B*T "
+                         "over one shared state until the first OOM. "
                          "A crashed PROCESS leaves its 14 GB resident on "
                          "the relay for ~40 min (CLAUDE.md), so cross-"
                          "process retry ladders poison themselves; within "
-                         "one process, failed-execution buffers free "
-                         "immediately. Everything (params, state, step) is "
-                         "rebuilt per rung — a failed donated execution may "
-                         "have consumed the state.")
+                         "one process, ascending rungs measure every "
+                         "config that fits before a too-big rung ends the "
+                         "run (the step donates state, so an OOM rung "
+                         "consumes it — nothing can run after).")
     ap.add_argument("--probe_free", action="store_true",
                     help="after state creation, binary-search the largest "
                          "allocatable buffer and report it (in-process "
@@ -139,9 +140,10 @@ def main():
                 hi = mid
         return got
 
-    def run_config(B, T):
-        print(f"# config={args.config} stage={stage} attn={args.attn} "
-              f"B={B} text_len={T}", file=sys.stderr)
+    def make_state():
+        """Params + train state, built ONCE and shared across ladder rungs
+        (a 14 GiB re-init per rung OOMs while the previous rung's buffers
+        are still draining through the relay)."""
         mark("init params")
         if args.abstract:
             if not args.dry_mem:
@@ -192,6 +194,12 @@ def main():
         if args.probe_free and not args.abstract:
             mark(f"probe: largest allocatable after state = "
                  f"{probe_free():.2f} GB")
+        return state, (n_params, n_llm, n_vis, n_proj), tx
+
+    def run_config(state, counts, tx, B, T):
+        n_params, n_llm, n_vis, n_proj = counts
+        print(f"# config={args.config} stage={stage} attn={args.attn} "
+              f"B={B} text_len={T}", file=sys.stderr)
         step = jit_train_step(make_train_step(
             cfg, tx, attn_impl=args.attn,
             remat=False if args.remat == "none" else args.remat,
@@ -234,17 +242,23 @@ def main():
             ma = compiled.memory_analysis()
             print(json.dumps({
                 "bench": "train_step_dry_mem", "config": args.config,
-                "batch": B, "remat": args.remat, "attn": args.attn,
+                "batch": B, "text_len": T, "remat": args.remat,
+                "attn": args.attn, "ce_chunk": args.ce_chunk,
                 "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
                 "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
                 "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
                 "alias_gb": round(ma.alias_size_in_bytes / 2**30, 3),
+                # the executable itself is HBM-resident at run time but NOT
+                # part of peak_gb's static analysis — add it when sizing
+                # against the 15.75 GB limit
+                "code_mb": round(
+                    ma.generated_code_size_in_bytes / 2**20, 1),
                 "peak_gb": round((ma.argument_size_in_bytes
                                   + ma.output_size_in_bytes
                                   + ma.temp_size_in_bytes
                                   - ma.alias_size_in_bytes) / 2**30, 3),
             }))
-            return
+            return state
         mark("compiling train step")
         state, m = step(state, batch)          # compile
         _ = float(m["loss"])
@@ -299,22 +313,31 @@ def main():
             "mfu_hw": round(flops_hw / t_med / V5E_BF16_PEAK, 4),
             "device": str(jax.devices()[0]),
         }))
+        return state
 
+    # Ladder semantics (rewritten after the r4 OOM post-mortem): rungs run
+    # ASCENDING over ONE shared param/state tree. Descending retry-on-OOM
+    # cannot work here — the step donates `state` into the failing
+    # execution (buffers consumed) and a fresh 14 GiB re-init races the
+    # relay's asynchronous release of the dead rung's memory. Ascending,
+    # every config that fits is measured before a too-big rung ends the
+    # process, and the largest-fitting number is never lost.
     rungs = [(args.batch, args.text_len)]
     if args.ladder:
         rungs += [tuple(int(x) for x in r.split(":"))
                   for r in args.ladder.split(",")]
+    rungs = sorted(set(rungs), key=lambda bt: bt[0] * bt[1])
+    state, counts, tx = make_state()
     for i, (B, T) in enumerate(rungs):
         try:
-            run_config(B, T)
-            return
+            state = run_config(state, counts, tx, B, T)
         except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e) or i == len(rungs) - 1:
+            if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            # drop every device buffer this rung held (the except block's
-            # exception ref dies here, releasing the frames + locals),
-            # then retry smaller — same process, so frees are immediate
-            mark(f"rung B={B} T={T} OOM at runtime; rebuilding smaller")
+            mark(f"rung B={B} T={T} OOM at runtime; donated state consumed "
+                 f"— stopping (smaller rungs above already reported)")
+            return
+        # step executables occupy HBM; drop before the next (bigger) rung
         jax.clear_caches()
         gc.collect()
 
