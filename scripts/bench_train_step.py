@@ -90,6 +90,18 @@ def main():
                          "allocatable buffer and report it (in-process "
                          "probes free instantly) — measures the true temp "
                          "headroom the step will see")
+    ap.add_argument("--wait_free", default="",
+                    help="'GB:minutes' preflight gate — BEFORE materializing "
+                         "anything, allocate-and-free a GB-sized probe "
+                         "buffer in-process and wait (retrying every 3 min, "
+                         "up to 'minutes') until it succeeds. The relay "
+                         "keeps dead processes' buffers resident well past "
+                         "the documented 20-40 min (measured: 0.00 GB "
+                         "allocatable 60 min after a crash), so launching a "
+                         "near-capacity job blind OOMs at runtime despite a "
+                         "clean static fit; this turns the janitor delay "
+                         "into an observable. Exit code 3 on timeout, with "
+                         "nothing left resident.")
     args = ap.parse_args()
 
     import jax
@@ -124,21 +136,46 @@ def main():
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
               flush=True)
 
+    def try_alloc(gb: float) -> bool:
+        """Alloc + force + free a ``gb`` buffer. 2-D shape ONLY: a flat
+        >2^31-element iota hangs the relay compile forever (measured —
+        a 14.8 GB 1-D probe never returned; the same bytes as [rows, 4096]
+        raise or succeed within seconds)."""
+        rows = max(int(gb * 2**30 / (2 * 4096)), 1)
+        try:
+            x = jnp.ones((rows, 4096), jnp.bfloat16) * 2
+            _ = float(x[-1, -1])            # force materialization
+            del x
+            return True
+        except Exception:                   # noqa: BLE001 — relay raises various
+            return False
+
     def probe_free(limit_gb=3.0):
         """Largest allocatable buffer right now (in-process frees are
         immediate, so this is safe to run before the step)."""
         lo, hi, got = 0.0, limit_gb, 0.0
         for _ in range(6):
             mid = (lo + hi) / 2
-            try:
-                x = jnp.ones((max(int(mid * 2**30 // 2), 128),),
-                             jnp.bfloat16) * 2
-                _ = float(x[-1])            # force materialization
-                del x
+            if try_alloc(mid):
                 got, lo = mid, mid
-            except Exception:
+            else:
                 hi = mid
         return got
+
+    def wait_free(gb: float, minutes: float) -> bool:
+        """Block until a ``gb``-sized buffer is allocatable (alloc + free +
+        fetch, all in-process — nothing stays resident between probes)."""
+        deadline = time.monotonic() + minutes * 60
+        while True:
+            if try_alloc(gb):
+                mark(f"wait_free: {gb:.2f} GB allocatable — proceeding")
+                return True
+            if time.monotonic() > deadline:
+                mark(f"wait_free: timed out after {minutes:.0f} min — "
+                     f"device still poisoned")
+                return False
+            mark(f"wait_free: {gb:.2f} GB not allocatable; sleeping 180 s")
+            time.sleep(180)
 
     def make_state():
         """Params + train state, built ONCE and shared across ladder rungs
@@ -327,6 +364,10 @@ def main():
         rungs += [tuple(int(x) for x in r.split(":"))
                   for r in args.ladder.split(",")]
     rungs = sorted(set(rungs), key=lambda bt: bt[0] * bt[1])
+    if args.wait_free and not args.abstract:
+        gb, _, mins = args.wait_free.partition(":")
+        if not wait_free(float(gb), float(mins or 60)):
+            raise SystemExit(3)
     state, counts, tx = make_state()
     for i, (B, T) in enumerate(rungs):
         try:
