@@ -127,7 +127,7 @@ def mm(x, w):
     ``w`` is a dense array, ``{"q8": int8 [..., in, out], "scale": f32
     [..., 1, out]}`` (per-output-channel symmetric int8,
     ``emmax_tpu.serving.quant``), or ``{"q4": int8 [..., in/2, out],
-    "scale": f32 [..., G, out]}`` (nibble-packed group-wise int4,
+    "scale": bf16 [..., G, out]}`` (nibble-packed group-wise int4,
     ``emmax_tpu.ops.int4_matmul`` — dequantized inside a Pallas kernel).
     The int→bf16 convert fuses into the matmul so HBM traffic for the
     weight is halved (int8) or quartered (int4) — the win that matters for

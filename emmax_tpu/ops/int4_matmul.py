@@ -14,12 +14,19 @@ This replaces the role of the reference's bitsandbytes 4-bit path
 
 Layout (per weight ``w: [..., D, F]``):
 - values are group-quantized along the input dim: groups of ``group`` rows
-  share a per-output-channel scale → ``scale: [..., G, F]`` f32 with
+  share a per-output-channel scale → ``scale: [..., G, F]`` **bf16** with
   ``G = D / group``. Levels are MID-RISE: stored code ``q ∈ [-8, 7]``
   decodes to ``(q + 0.5)·scale`` — 16 symmetric levels (no wasted −8
   twin), and the scale is MSE-searched over ``SEARCH_FRACS`` of the
   absmax fit rather than absmax/7 (round-4 quality push: −12.5% relative
   matmul-output error on the random-weight worst case at group 64).
+  Scales are stored bf16 (round 4): decode is weight-traffic-bound, and
+  f32 scale rows were 6.25% (g128) / 12.5% (g64) of the kernel's HBM
+  bytes; bf16 halves that. The codes are chosen AGAINST the bf16-rounded
+  scale (rounding happens before the level fit, inside the MSE search),
+  so the 2^-9 relative scale error — ~50x below the 4-bit code error —
+  is the only quality cost. The kernel accepts f32 scales too (older
+  checkpoints): it casts the scale row per group.
 - nibbles are packed *half-split*, not interleaved: byte ``b[p, f]`` holds
   original row ``p`` in its low nibble and row ``p + D/2`` in its high
   nibble → ``q4: [..., D/2, F]`` int8. Unpacking is then **zero shuffles**
@@ -115,13 +122,19 @@ def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP,
     ``group`` shrinks automatically for tiny test dims; real LLM dims
     (4096 / 11008) keep the default 128.
     """
+    import ml_dtypes
+
     w = np.asarray(w, np.float32)
     D = w.shape[-2]
     group = _resolve_group(D, group)
     G = D // group
     grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
     absmax = np.max(np.abs(grouped), axis=-2, keepdims=True)
-    base = (absmax / 7.5).astype(np.float32)
+
+    def bf16(s):   # scales ship bf16; fit codes against the ROUNDED value
+        return s.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    base = bf16((absmax / 7.5).astype(np.float32))
 
     def levels(s):
         safe = np.where(s == 0, 1.0, s)
@@ -131,7 +144,7 @@ def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP,
     if search:
         best = None
         for c in SEARCH_FRACS:
-            s = base * np.float32(c)
+            s = bf16(base * np.float32(c))
             err = ((levels(s) + 0.5) * s - grouped) ** 2
             mse = err.sum(-2, keepdims=True)
             if best is None:
@@ -143,7 +156,8 @@ def quantize_weight_int4_np(w, group: int = DEFAULT_GROUP,
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
     packed = ((hi << 4) | (lo + 8)).astype(np.int8)   # low nibble biased +8
     return {"q4": packed,
-            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
+            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])
+                          .astype(ml_dtypes.bfloat16)}
 
 
 def quantize_weight_int4(w: jax.Array, group: int = DEFAULT_GROUP,
@@ -155,7 +169,11 @@ def quantize_weight_int4(w: jax.Array, group: int = DEFAULT_GROUP,
     G = D // group
     grouped = w.reshape(*w.shape[:-2], G, group, w.shape[-1])
     absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
-    base = absmax / 7.5
+
+    def bf16(s):   # match quantize_weight_int4_np: fit against bf16 scales
+        return s.astype(jnp.bfloat16).astype(jnp.float32)
+
+    base = bf16(absmax / 7.5)
 
     def levels(s):
         safe = jnp.where(s == 0, 1.0, s)
@@ -165,7 +183,7 @@ def quantize_weight_int4(w: jax.Array, group: int = DEFAULT_GROUP,
     if search:
         best = None
         for c in SEARCH_FRACS:
-            s = base * jnp.float32(c)
+            s = bf16(base * jnp.float32(c))
             mse = (((levels(s) + 0.5) * s - grouped) ** 2).sum(-2,
                                                                keepdims=True)
             if best is None:
@@ -177,7 +195,8 @@ def quantize_weight_int4(w: jax.Array, group: int = DEFAULT_GROUP,
     lo, hi = q[..., : D // 2, :], q[..., D // 2:, :]
     packed = (jnp.left_shift(hi, 4) | (lo + 8)).astype(jnp.int8)
     return {"q4": packed,
-            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])}
+            "scale": scale.reshape(*w.shape[:-2], G, w.shape[-1])
+                          .astype(jnp.bfloat16)}
 
 
 def _low_biased(b32):
@@ -249,12 +268,14 @@ def _kernel(x_ref, q4_ref, s_ref, o_ref, *, group: int, g_half: int,
     for g in range(g_half):
         if stacked:
             b8 = q4_ref[0, g * group:(g + 1) * group, :]
-            s_lo = s_ref[0, g, :][None, :]          # [1, BN] f32
+            s_lo = s_ref[0, g, :][None, :]          # [1, BN] bf16 (or f32)
             s_hi = s_ref[0, g_half + g, :][None, :]
         else:
             b8 = q4_ref[g * group:(g + 1) * group, :]
             s_lo = s_ref[g, :][None, :]
             s_hi = s_ref[g_half + g, :][None, :]
+        s_lo = s_lo.astype(jnp.float32)
+        s_hi = s_hi.astype(jnp.float32)
         if unpack == "arith":
             lo = (b8 & 15).astype(jnp.bfloat16)         # [group, BN], +8
             hi = b8.astype(jnp.bfloat16) - lo           # = 16·hi, exact
@@ -313,7 +334,8 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((M, F), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * D * F,
-            bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
+            bytes_accessed=(D2 * F + G * F * scale.dtype.itemsize
+                            + M * D * 2 + M * F * 2),
             transcendentals=0),
         # small groups at prefill shapes (bm=128 x K=11008, 86 unrolled
         # groups at g64) exceed Mosaic's default scoped-vmem stack since
@@ -361,7 +383,8 @@ def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
         out_shape=jax.ShapeDtypeStruct((M, F), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * D * F,
-            bytes_accessed=D2 * F + G * F * 4 + M * D * 2 + M * F * 2,
+            bytes_accessed=(D2 * F + G * F * scale.dtype.itemsize
+                            + M * D * 2 + M * F * 2),
             transcendentals=0),
         # see the non-stacked call: small groups + long K need more than
         # the default scoped-vmem stack after the mid-rise epilogue
