@@ -81,13 +81,30 @@ DEFAULT_GROUP = 128
 # at prefill shapes (bm=128 x K=11008 unrolled program too large) -> keep
 # 512 there. "parallel" dimension_semantics changes nothing; plane-dot and
 # fused-qkv variants measured slower.
+#
+# Round 4 extends the wide-bn decode regime from M<=16 to M<=_M_DECODE_MAX:
+# speculative TREE verification runs [B, 44]-row chunks ((7,5) product
+# tree, serving/speculative.py) that previously fell onto the bm=128/
+# bn=512 prefill tiling — decode is weight-bandwidth-bound, so a 48-row
+# chunk costs the same HBM traffic as a 16-row one and the extra MXU rows
+# are free. bm tracks the actual M (sublane-rounded), keeping pad rows
+# minimal; only the x block grows (48 x 11008 f32 ~= 2 MB VMEM).
 _BN_DECODE = 1024
 _BN_PREFILL = 512
+_M_DECODE_MAX = 48
 
 
 def _bn_for(M: int, F: int) -> int:
-    cap = _BN_DECODE if M <= 16 else _BN_PREFILL
+    cap = _BN_DECODE if M <= _M_DECODE_MAX else _BN_PREFILL
     return min(cap, ((F + 127) // 128) * 128)
+
+
+def _bm_for(M: int) -> int:
+    if M <= 16:
+        return 16
+    if M <= _M_DECODE_MAX:
+        return (M + 7) // 8 * 8
+    return 128
 
 
 def _resolve_group(D: int, group: int) -> int:
@@ -313,7 +330,7 @@ def _int4_matmul_pallas(x2d, q4, scale, *, interpret: bool = False,
     G = scale.shape[0]
     group = D // G
     g_half = (D // 2) // group
-    bm = 16 if M <= 16 else 128
+    bm = _bm_for(M)
     bn = _bn_for(M, F)
     grid = (pl.cdiv(M, bm), pl.cdiv(F, bn))
     kernel = functools.partial(_kernel, group=group, g_half=g_half,
@@ -360,7 +377,7 @@ def _int4_matmul_pallas_stacked(x2d, q4, scale, layer, *,
     G = scale.shape[1]
     group = D // G
     g_half = (D // 2) // group
-    bm = 16 if M <= 16 else 128
+    bm = _bm_for(M)
     bn = _bn_for(M, F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

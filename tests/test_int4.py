@@ -190,3 +190,42 @@ def test_stacked_layer_matmul_paths_agree():
         out_pl = int4_matmul(x, stacked, impl="interpret")
         np.testing.assert_allclose(np.asarray(out_pl), np.asarray(ref),
                                    rtol=3e-2, atol=2e-2)
+
+
+def test_tree_chunk_rows_use_wide_tile_and_match_xla():
+    """M in (16, 48] — the speculative TREE-verify chunk shape ([B, 44]
+    rows for action_tree=(7,5)) — stays on the wide-bn decode tiling
+    (round 4: bm tracks M, bn=1024) and must match the XLA fallback."""
+    from emmax_tpu.ops.int4_matmul import _bm_for, _bn_for
+
+    assert _bm_for(44) == 48 and _bn_for(44, 4096) == 1024
+    assert _bm_for(16) == 16 and _bm_for(49) == 128
+    assert _bn_for(49, 4096) == 512
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(scale=0.02, size=(512, 384)).astype(np.float32)
+    qw = {k: jnp.asarray(v) for k, v in quantize_weight_int4_np(w).items()}
+    for M in (17, 44, 48):
+        x = jnp.asarray(rng.normal(size=(M, 512)).astype(np.float32))
+        ref = int4_matmul(x, qw, impl="xla")
+        out = int4_matmul(x, qw, impl="interpret")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-2, atol=2e-2)
+
+
+def test_scales_are_bf16_and_legacy_f32_accepted():
+    """Round 4: quantizers emit bf16 scales (halved scale-row traffic);
+    the kernel must accept BOTH bf16 and legacy f32 scale dicts and
+    produce identical outputs (codes were fit against the bf16-rounded
+    scale, so the f32 upcast is exact)."""
+    rng = np.random.default_rng(12)
+    w = rng.normal(scale=0.02, size=(256, 128)).astype(np.float32)
+    qw = quantize_weight_int4_np(w, group=64)
+    assert str(qw["scale"].dtype) == "bfloat16"
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    out_bf16 = int4_matmul(
+        x, {k: jnp.asarray(v) for k, v in qw.items()}, impl="interpret")
+    legacy = {"q4": jnp.asarray(qw["q4"]),
+              "scale": jnp.asarray(qw["scale"], jnp.float32)}
+    out_f32 = int4_matmul(x, legacy, impl="interpret")
+    assert jnp.array_equal(out_bf16, out_f32)
