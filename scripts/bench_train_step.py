@@ -86,21 +86,23 @@ def main():
                          "run (the step donates state, so an OOM rung "
                          "consumes it — nothing can run after).")
     ap.add_argument("--probe_free", action="store_true",
-                    help="after state creation, binary-search the largest "
-                         "allocatable buffer and report it (in-process "
-                         "probes free instantly) — measures the true temp "
-                         "headroom the step will see")
+                    help="DEPRECATED no-op: a failed in-process alloc "
+                         "poisons the axon client (all later allocs fast-"
+                         "fail), so the post-state binary search would "
+                         "kill the very step it was sizing. --wait_free "
+                         "covers preflight headroom via subprocess probes")
     ap.add_argument("--wait_free", default="",
                     help="'GB:minutes' preflight gate — BEFORE materializing "
-                         "anything, allocate-and-free a GB-sized probe "
-                         "buffer in-process and wait (retrying every 3 min, "
-                         "up to 'minutes') until it succeeds. The relay "
-                         "keeps dead processes' buffers resident well past "
-                         "the documented 20-40 min (measured: 0.00 GB "
-                         "allocatable 60 min after a crash), so launching a "
-                         "near-capacity job blind OOMs at runtime despite a "
-                         "clean static fit; this turns the janitor delay "
-                         "into an observable. Exit code 3 on timeout, with "
+                         "anything, spawn a FRESH SUBPROCESS that allocates "
+                         "and frees a GB-sized probe buffer, retrying every "
+                         "3 min up to 'minutes'. Subprocess-per-probe is "
+                         "mandatory: a failed alloc poisons that client "
+                         "(all later allocs fast-fail), so an in-process "
+                         "retry loop can never pass after its first miss. "
+                         "The relay keeps dead processes' buffers resident "
+                         "well past the documented 20-40 min, so launching "
+                         "a near-capacity job blind OOMs at runtime despite "
+                         "a clean static fit. Exit code 3 on timeout, with "
                          "nothing left resident.")
     args = ap.parse_args()
 
@@ -136,38 +138,36 @@ def main():
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
               flush=True)
 
-    def try_alloc(gb: float) -> bool:
-        """Alloc + force + free a ``gb`` buffer. 2-D shape ONLY: a flat
-        >2^31-element iota hangs the relay compile forever (measured —
-        a 14.8 GB 1-D probe never returned; the same bytes as [rows, 4096]
-        raise or succeed within seconds)."""
-        rows = max(int(gb * 2**30 / (2 * 4096)), 1)
-        try:
-            x = jnp.ones((rows, 4096), jnp.bfloat16) * 2
-            _ = float(x[-1, -1])            # force materialization
-            del x
-            return True
-        except Exception:                   # noqa: BLE001 — relay raises various
-            return False
-
-    def probe_free(limit_gb=3.0):
-        """Largest allocatable buffer right now (in-process frees are
-        immediate, so this is safe to run before the step)."""
-        lo, hi, got = 0.0, limit_gb, 0.0
-        for _ in range(6):
-            mid = (lo + hi) / 2
-            if try_alloc(mid):
-                got, lo = mid, mid
-            else:
-                hi = mid
-        return got
-
     def wait_free(gb: float, minutes: float) -> bool:
-        """Block until a ``gb``-sized buffer is allocatable (alloc + free +
-        fetch, all in-process — nothing stays resident between probes)."""
+        """Block until a ``gb``-sized buffer is allocatable.
+
+        Probes run in FRESH SUBPROCESSES, one attempt each: a failed alloc
+        POISONS the axon client — every later alloc in that process
+        fast-fails regardless of device state (measured round 4: after one
+        14.8 GB failure, 0.5 GB fails in 0.0 s in the same process, while
+        a fresh process allocates 6 GB fine). An in-process retry loop
+        therefore can never pass after its first miss. A subprocess that
+        succeeds frees its buffer in-process (immediate) and exits holding
+        nothing; the PARENT performs no device op until the gate passes,
+        so its own client stays fresh for the real run."""
+        import subprocess
+        probe_src = (
+            "import sys\n"
+            "import jax, jax.numpy as jnp\n"
+            "rows = max(int(float(sys.argv[1]) * 2**30 / (2 * 4096)), 1)\n"
+            "x = jnp.ones((rows, 4096), jnp.bfloat16) * 2\n"
+            "assert float(x[-1, -1]) == 2.0\n"
+            "del x\n")
         deadline = time.monotonic() + minutes * 60
         while True:
-            if try_alloc(gb):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", probe_src, str(gb)],
+                    capture_output=True, timeout=900)
+                ok = r.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok:
                 mark(f"wait_free: {gb:.2f} GB allocatable — proceeding")
                 return True
             if time.monotonic() > deadline:
@@ -229,8 +229,14 @@ def main():
         jax.clear_caches()
         mark("train state ready")
         if args.probe_free and not args.abstract:
-            mark(f"probe: largest allocatable after state = "
-                 f"{probe_free():.2f} GB")
+            # DISABLED (round 4): a failed alloc POISONS the axon client —
+            # every later alloc in this process (including the train step
+            # about to be timed) fast-fails. The binary search necessarily
+            # hits failures, so probing here would kill the run it was
+            # meant to protect. The --wait_free subprocess gate is the
+            # safe preflight.
+            mark("probe_free disabled: in-process alloc failures poison "
+                 "the client (see wait_free docstring); skipping")
         return state, (n_params, n_llm, n_vis, n_proj), tx
 
     def run_config(state, counts, tx, B, T):
