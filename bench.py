@@ -74,6 +74,63 @@ FRAMES = 12             # one reference episode ~100 env steps / 8 actions
                         # per decode (run_bridgev2_eval.py:149 `while t<100`)
 
 
+# Headline keys gated against the previous round's committed BENCH_r*.json
+# (VERDICT r4 item 2: the round-4 action-tree regression shipped because
+# nothing compared BENCH_rN to BENCH_rN-1). higher_is_better per key.
+_GATE_KEYS = {
+    "value": True,
+    "closedloop_warm_hz": True,
+    "closedloop_floor_hz": True,
+    "closedloop128_hz": True,
+    "int4_decode_tok_s": True,
+    "int8_decode_tok_s": True,
+    "spec_chunk_step_ms": False,
+    "paged_6req_agg_tok_s": True,
+    "soak_hz": True,
+}
+
+
+def _regression_warnings(current: dict, repo_dir: str) -> list:
+    """Diff headline keys against the newest committed BENCH_r*.json; a
+    >10% move in the losing direction earns a loud WARN entry. Pure
+    best-effort: a missing/corrupt baseline file warns once and moves on."""
+    import glob
+    import re
+
+    warns = []
+    paths = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not paths:
+        return warns
+    try:
+        with open(paths[-1]) as f:
+            blob = json.load(f)
+        prev = blob.get("parsed")
+        if prev is None:
+            # driver stores only a (possibly front-truncated) output tail:
+            # regex the gate keys out of the fragment instead of parsing
+            tail = blob.get("tail", "")
+            prev = {}
+            for key in _GATE_KEYS:
+                m = re.search(rf'"{key}"\s*:\s*(-?\d+(?:\.\d+)?)', tail)
+                if m:
+                    prev[key] = float(m.group(1))
+    except Exception as e:
+        return [f"regression-gate: could not parse {paths[-1]}: {e}"]
+    base = os.path.basename(paths[-1])
+    for key, hib in _GATE_KEYS.items():
+        old, new = prev.get(key), current.get(key)
+        if not (isinstance(old, (int, float)) and isinstance(new, (int, float))
+                and old > 0 and new > 0):
+            continue
+        ratio = new / old
+        if (hib and ratio < 0.9) or (not hib and ratio > 1.1):
+            warns.append(
+                f"REGRESSION {key}: {old} ({base}) -> {new} "
+                f"({ratio:.2f}x, {'higher' if hib else 'lower'} is better)")
+    return warns
+
+
 def _measure_batch(engine, prompts, pixels, n_decode):
     out = engine.generate_ids(prompts, pixels, max_new_tokens=n_decode)
     jax.block_until_ready(out)
@@ -128,6 +185,7 @@ def main():
     # each variant is best-effort: the driver must always get the JSON line
     results = {}
     extras = {}
+    bench_warnings = []
     try:
         engine = ServingEngine(cfg, params, tok, options=opts)
         t_full = _measure(engine, prompt, pixels, DECODE_TOKENS)
@@ -311,14 +369,18 @@ def main():
         vc = VisionCache(capacity=4, threshold=0.05)
         # k=12 measured best (k16/k20 trade fewer steps for costlier chunks:
         # 27.2/28.6 vs 30.8 warm Hz); int8 KV cache trims per-step cache
-        # traffic (teacher-forced acceptance counts are unaffected)
-        # action_tree (7, 5): product-tree verification for action-bin runs
-        # (round-4). Offline simulator + engine tests: cold frame 60 -> 34
-        # steps, seedless GCOT frame 92 -> 66 (scripts/sim_spec_drafts.py)
+        # traffic (teacher-forced acceptance counts are unaffected).
+        # action_tree OFF: round 4 compiled (7, 5) in here and the driver
+        # measured a 2x closed-loop REGRESSION (warm 51.0 -> 23.1 Hz,
+        # floor step 6.8 -> 73.6 ms) — the lax.cond tree branch defeated
+        # the in-place KV-cache aliasing in the decode while_loop even on
+        # steps that never took it (VERDICT r4 item 1). The tree saves
+        # steps (cold 60 -> 34) but must be net-Hz-positive ON CHIP before
+        # it returns; see scripts/bench_tree_ab.py for the gate.
         spec_cl = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                     draft_k=12, vision_cache=vc,
                                     prefix_tail=24, quantized_cache=True,
-                                    action_tree=(7, 5))
+                                    action_tree=None)
         typ_streams = [frame_stream(f, TYPICAL_TOKENS) for f in range(FRAMES)]
         episode(spec_cl, TYPICAL_TOKENS, typ_streams)   # warmup/compile
         best_ts, all_steps, prefills, last_out = None, None, None, None
@@ -426,7 +488,7 @@ def main():
         # predicts 92 -> 66 steps/frame vs lookup-only)
         nodict_eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                        draft_k=12, vision_cache=None,
-                                       prefix_tail=0, action_tree=(7, 5))
+                                       prefix_tail=0, action_tree=None)
         episode(nodict_eng, TYPICAL_TOKENS, typ_streams, n_frames=2,
                 seed_cold=False)                       # warmup/compile
         nts, nsteps, _, _ = episode(nodict_eng, TYPICAL_TOKENS, typ_streams,
@@ -441,12 +503,10 @@ def main():
 
         # --- measured FLOOR: no vision cache, no prefix reuse, random
         # forced stream (no draftable structure) -> near-zero acceptance
-        # (VERDICT r2 item 1d). The bin tree is ON but by construction
-        # cannot fire (random tokens are not bin runs): this row is the
-        # pure verifier-step cost
+        # (VERDICT r2 item 1d): this row is the pure verifier-step cost
         floor_eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                       draft_k=12, vision_cache=None,
-                                      prefix_tail=0, action_tree=(7, 5))
+                                      prefix_tail=0, action_tree=None)
         rng_f = np.random.default_rng(7)
         floor_streams = [rng_f.integers(300, 30000, size=TYPICAL_TOKENS * 2)
                          .astype(np.int32) for _ in range(3)]
@@ -473,7 +533,26 @@ def main():
         t_step_meas = max((t_floor - t_full_prefill) / steps_per_floor_frame,
                           1e-4)
         warm_steps = float(np.median(all_steps[1:]))
-        t_tail = max(t_warm - warm_steps * t_step_meas, 0.0)
+        t_tail_raw = t_warm - warm_steps * t_step_meas
+        t_tail = max(t_tail_raw, 0.0)
+        # self-consistency gates (VERDICT r4 item 8): these two cross-checks
+        # would have flagged the round-4 action-tree regression mid-round.
+        # (a) a negative tail residual means the floor-derived step cost
+        # exceeds what the warm frames actually paid per step; (b) the
+        # floor-derived step cost and the spec-chunk microbench measure the
+        # same primitive (one k-wide verifier forward) and must agree.
+        if t_tail_raw < -0.002:
+            bench_warnings.append(
+                f"sensitivity: tail_refresh clamped to 0 (raw "
+                f"{t_tail_raw * 1e3:.1f} ms) — floor-derived verifier step "
+                f"({t_step_meas * 1e3:.2f} ms) inconsistent with measured "
+                f"warm frame ({t_warm * 1e3:.1f} ms / {warm_steps} steps)")
+        chunk_ms = extras.get("spec_chunk_step_ms")
+        if chunk_ms and not (0.5 < t_step_meas * 1e3 / chunk_ms < 2.0):
+            bench_warnings.append(
+                f"verifier-step cross-check: floor-derived "
+                f"{t_step_meas * 1e3:.2f} ms vs spec-chunk microbench "
+                f"{chunk_ms} ms disagree >2x in the same run")
         sens = {}
         for a in (0, 2, 4, 6):
             for h in (0.0, 0.5, 0.9):
@@ -584,13 +663,22 @@ def main():
     assert results, "no benchmark variant succeeded"
     best_name, best = min(results.items(), key=lambda kv: kv[1]["total_s"])
     hz = ACTIONS_PER_DECODE / best["total_s"]
-    print(json.dumps({
+    final = {
         "metric": "emma_x_7b_amortized_frame_to_action_hz",
         "value": round(hz, 3),
         "unit": "Hz",
         "vs_baseline": round(hz / 30.0, 4),
         "best_variant": best_name,
         **extras,
+    }
+    bench_warnings.extend(_regression_warnings(
+        final, os.path.dirname(os.path.abspath(__file__))))
+    for w in bench_warnings:
+        import sys
+        print(f"WARN {w}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        **final,
+        "bench_warnings": bench_warnings,
         "decode_tokens": DECODE_TOKENS,
         "params_b": round(n_params / 1e9, 3),
         "device": str(jax.devices()[0]),
