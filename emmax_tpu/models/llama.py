@@ -420,9 +420,15 @@ def chunked_ce_loss_and_preds(h: jax.Array, lm_head, labels: jax.Array, *,
     h_blocks = h.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)
     l_blocks = shifted.reshape(B, n, chunk).transpose(1, 0, 2)
 
+    # biased heads (phi: {"kernel", "bias"}) vs plain/quantized matrices
+    if isinstance(lm_head, dict) and "kernel" in lm_head:
+        head = lambda hb: mm(hb, lm_head["kernel"]) + lm_head["bias"]
+    else:
+        head = lambda hb: mm(hb, lm_head)
+
     @jax.checkpoint
     def one_block(hb, lb):
-        logits = mm(hb, lm_head).astype(jnp.float32)
+        logits = head(hb).astype(jnp.float32)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         valid = lb != IGNORE_INDEX
         safe = jnp.where(valid, lb, 0)

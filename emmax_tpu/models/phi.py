@@ -98,9 +98,16 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
                 positions: Optional[jax.Array] = None,
                 kv_cache: Optional[Params] = None, attn_impl: str = "xla",
                 remat: bool = False, logits_dtype=jnp.float32,
+                return_hidden: bool = False,
+                chunk_attn_mask: Optional[jax.Array] = None,
                 scan_weight_barrier: bool = False
                 ) -> Tuple[jax.Array, Optional[Params]]:
-    """Same contract as ``llama_forward``."""
+    """Same contract as ``llama_forward`` (incl. ``return_hidden`` for
+    chunked-CE heads and ``chunk_attn_mask`` for tree-verify chunks, so a
+    Phi-backed VLM supports ce_chunk training and tree speculation)."""
+    if chunk_attn_mask is not None and kv_cache is None:
+        raise ValueError("chunk_attn_mask requires a kv_cache (tree chunks "
+                         "are a decode-path construct)")
     B, L, D = inputs_embeds.shape
     if positions is None:
         if mask is not None:
@@ -199,7 +206,8 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
             v_c = _read(v_all, vs_all if quant else None, i)
             attn = multi_head_attention(q, k_c, v_c, kv_mask=slot_mask,
                                         causal=True, q_offset=t0,
-                                        impl=attn_impl)
+                                        impl=attn_impl,
+                                        chunk_mask=chunk_attn_mask)
             attn = mm(attn.reshape(B, L, -1), p["wo"]) + p["bo"]
             mlp = mm(gelu_new(mm(x, p["w1"]) + p["b1"]), p["w2"]) + p["b2"]
             return (h + attn + mlp, k_all, v_all, ks_all, vs_all)
@@ -216,6 +224,8 @@ def phi_forward(params: Params, cfg: PhiConfig, inputs_embeds: jax.Array, *,
 
     h = layer_norm(h, params["final_norm"]["scale"],
                    params["final_norm"]["bias"], cfg.norm_eps)
+    if return_hidden:
+        return h, new_cache
     logits = (mm(h, params["lm_head"]["kernel"])
               + params["lm_head"]["bias"]).astype(logits_dtype)
     return logits, new_cache

@@ -523,9 +523,11 @@ def flash_attention(q, k, v, *, kv_mask=None, causal: bool = False,
     # XLA's 8.5 (B8 H32 D128, bk=256 — bk=128 measured slower, so bk
     # keeps the plain cap rule). Beyond the cap, pick the block size under
     # it minimizing padded length (ties -> larger block): 2048 keeps its
-    # round-3 512/256 tiling, 1032 gets 344 (exact) instead of 512 (pad
-    # 1536). bq needs sublane (8) granularity; bwd blocks must nest
-    # (bq % bq_bwd == 0) so one padded length serves fwd and bwd.
+    # round-3 512/256 tiling, 1032 gets 352 (pad 24) instead of 512 (pad
+    # 1536). Candidate blocks step by 32 (MXU-friendly tiles; a finer
+    # sublane-8 step would find 344 exact for 1032, but 32 keeps tile
+    # shapes conventional and the pad is already <3%); bwd blocks must
+    # nest (bq % bq_bwd == 0) so one padded length serves fwd and bwd.
     q_cover = _ceil_to(Lq, 8)
     if q_cover <= block_q:
         bq = bq_bwd = q_cover

@@ -25,8 +25,15 @@ Layout (per weight ``w: [..., D, F]``):
   bytes; bf16 halves that. The codes are chosen AGAINST the bf16-rounded
   scale (rounding happens before the level fit, inside the MSE search),
   so the 2^-9 relative scale error — ~50x below the 4-bit code error —
-  is the only quality cost. The kernel accepts f32 scales too (older
-  checkpoints): it casts the scale row per group.
+  is the only quality cost. The kernel also accepts f32 scales (it casts
+  the scale row per group) — but that is DTYPE compatibility only: the
+  decode law is always mid-rise ``(q + 0.5)·scale``. A q4 dict whose
+  codes were fitted mid-tread (``q·scale`` — what quantize_vlm_params
+  produced before round 4) would decode shifted by ``0.5·scale``. This
+  cannot bite an on-disk artifact: q4 dicts are built in-process at load
+  time from bf16/HF weights (serving/quant.py) and no repo tool ever
+  serializes them — only the quantizer and kernel in the same tree need
+  to agree, and they do.
 - nibbles are packed *half-split*, not interleaved: byte ``b[p, f]`` holds
   original row ``p`` in its low nibble and row ``p + D/2`` in its high
   nibble → ``q4: [..., D/2, F]`` int8. Unpacking is then **zero shuffles**

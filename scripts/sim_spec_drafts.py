@@ -69,6 +69,11 @@ def simulate_steps(forced: np.ndarray, draft_ctx: np.ndarray, *,
     the prompt tail the engine prepends (``generate_ids``)."""
     max_new = max_new or len(forced)
     forced = np.asarray(forced, np.int64)
+    if tree:
+        # unified W-wide chunks (round 5, speculative._spec_decode): with a
+        # tree compiled in, linear steps draft into all W-1 slots
+        n1 = 1 + int(np.sum(np.cumprod(tree)))
+        k = max(k + 1, n1) - 1
     H = len(draft_ctx) + max_new * 3 + 64
     hist = np.full(H, -1, np.int64)
     hist[:len(draft_ctx)] = draft_ctx
