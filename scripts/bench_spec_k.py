@@ -1,19 +1,17 @@
-"""Closed-loop draft_k sweep on the real chip (round 4).
+"""Closed-loop (draft_k x action_tree) sweep on the real chip (round 5).
 
-The int4 kernel's wide-bn decode regime now covers verify chunks up to 48
-rows (``ops/int4_matmul.py:_bm_for``), so draft_k > 15 no longer falls
-off the fast tiling — the k16/k20 losses measured in round 3 (27.2/28.6
-vs 30.8 warm Hz) were the bm=128/bn=512 cliff, not draft quality. The
-offline simulator (scripts/sim_spec_drafts.py, step counts pinned to the
-engine by tests/test_spec_simulator.py) predicts warm steps 13 -> 10 -> 8
-for k = 12 -> 24 -> 43 on bench.py's exact GCOT streams; chunk cost is
-weight-traffic-bound, so fewer steps should convert ~1:1 into Hz.
+Round 4 compiled ``action_tree=(7,5)`` into the closed loop untested and
+the driver measured a 2x regression (the ``lax.cond`` tree branch broke
+in-place KV-cache aliasing; VERDICT r4 item 1). Round 5 replaced the cond
+with a unified W-wide step (``serving/speculative.py:_spec_decode_impl``).
+This script is the on-chip gate BEFORE any tree/k default changes: per
+config it reports warm/cold frame ms + steps of bench.py's exact
+closed-loop episode, and (``--floor``) the pure per-verifier-step cost
+from a random undraftable stream — the number that exploded 6.8 -> 73.6
+ms in round 4 and must stay ~flat vs tree-off now.
 
-Runs bench.py's closed-loop episode (vision cache, prefix_tail=24, int8
-KV, tree (7,5), teacher-forced streams) per k and reports warm/cold
-frame ms + steps. One TPU process at a time.
-
-    python scripts/bench_spec_k.py [--ks 12,24,43]
+    python scripts/bench_spec_k.py [--configs 12:off,12:on,24:off,43:off]
+One TPU process at a time.
 """
 
 from __future__ import annotations
@@ -41,7 +39,11 @@ TYPICAL_TOKENS = 96
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ks", default="12,24,43")
+    ap.add_argument("--configs", default="12:off,12:on,24:off,43:off",
+                    help="comma list of draft_k:TREE with TREE in "
+                         "off | on/75 = tree (7,5) | 53 = tree (5,3)")
+    ap.add_argument("--floor", action="store_true",
+                    help="also measure pure step cost on a random stream")
     args = ap.parse_args()
 
     import jax
@@ -131,14 +133,41 @@ def main():
             steps.append(engine.last_steps)
         return ts, steps
 
+    # --- floor stream: random tokens, no draftable structure -> ~1 token
+    # per verifier step; frame time / steps = pure per-step cost
+    rng_f = np.random.default_rng(7)
+    floor_streams = [rng_f.integers(300, 30000, size=TYPICAL_TOKENS * 2)
+                     .astype(np.int32) for _ in range(3)]
+
+    def floor_episode(engine):
+        prev = np.asarray(seed_template, np.int32)
+        ts, steps = [], []
+        for f in range(3):
+            t0 = time.perf_counter()
+            out = engine.generate_ids([frame_prompt(f)], noisy[f],
+                                      max_new_tokens=TYPICAL_TOKENS,
+                                      forced_tokens=floor_streams[f],
+                                      draft_context=prev,
+                                      frame_key=host_frames[f])
+            np.asarray(out)
+            ts.append(time.perf_counter() - t0)
+            prev = out[0]
+            steps.append(engine.last_steps)
+        return ts, steps
+
     out = {"bench": "spec_k_sweep", "frames": FRAMES,
            "tokens": TYPICAL_TOKENS}
-    for k in (int(v) for v in args.ks.split(",")):
+    trees = {"off": None, "on": (7, 5), "75": (7, 5), "53": (5, 3)}
+    for spec in args.configs.split(","):
+        kstr, _, tstr = spec.partition(":")
+        k, tree = int(kstr), trees[tstr.strip() or "off"]
+        tag = f"k{k}" + ("" if tree is None else
+                         "t" + "".join(map(str, tree)))
         vc = VisionCache(capacity=4, threshold=0.05)
         eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                 draft_k=k, vision_cache=vc,
                                 prefix_tail=24, quantized_cache=True,
-                                action_tree=(7, 5))
+                                action_tree=tree)
         episode(eng)                           # warmup/compile
         best_ts, best_steps = None, None
         for _ in range(2):
@@ -146,11 +175,18 @@ def main():
             if best_ts is None or sum(ts) < sum(best_ts):
                 best_ts, best_steps = ts, steps
         warm = float(np.median(best_ts[1:]))
-        out[f"k{k}_frame_ms"] = round(sum(best_ts) / FRAMES * 1e3, 1)
-        out[f"k{k}_warm_ms"] = round(warm * 1e3, 1)
-        out[f"k{k}_warm_hz"] = round(ACTIONS_PER_DECODE / warm, 2)
-        out[f"k{k}_cold_ms"] = round(best_ts[0] * 1e3, 1)
-        out[f"k{k}_steps"] = best_steps
+        out[f"{tag}_frame_ms"] = round(sum(best_ts) / FRAMES * 1e3, 1)
+        out[f"{tag}_warm_ms"] = round(warm * 1e3, 1)
+        out[f"{tag}_warm_hz"] = round(ACTIONS_PER_DECODE / warm, 2)
+        out[f"{tag}_cold_ms"] = round(best_ts[0] * 1e3, 1)
+        out[f"{tag}_steps"] = best_steps
+        if args.floor:
+            floor_episode(eng)                 # warmup the floor shapes
+            fts, fsteps = floor_episode(eng)
+            best_i = int(np.argmin(fts[1:])) + 1
+            out[f"{tag}_floor_step_ms"] = round(
+                fts[best_i] / max(fsteps[best_i], 1) * 1e3, 2)
+            out[f"{tag}_floor_steps"] = fsteps[best_i]
         print(json.dumps(out), flush=True)
         del eng
     print(json.dumps(out), flush=True)
