@@ -367,20 +367,19 @@ def main():
 
         # --- measured TYPICAL episode (the headline): 96-token GCOT frames
         vc = VisionCache(capacity=4, threshold=0.05)
-        # k=12 measured best (k16/k20 trade fewer steps for costlier chunks:
-        # 27.2/28.6 vs 30.8 warm Hz); int8 KV cache trims per-step cache
+        # k=12 + action_tree=(7,5), gated ON-CHIP round 5
+        # (scripts/bench_spec_k.py, 2026-08-20): the round-5 UNIFIED W-wide
+        # step (tree/linear as a data select, not the round-4 lax.cond that
+        # broke cache aliasing and cost 2x) measures warm 113.1 ms = 70.7 Hz
+        # vs 158.4 ms = 50.5 Hz tree-off — per-step cost 10.4 vs 7.8 ms but
+        # warm steps 7 vs 14 (the tree covers bin drift AND linear steps
+        # gain W-1=42 lookup slots). (5,3) and wide-linear k24/k43 measured
+        # 61-63 Hz — (7,5) dominates. int8 KV cache trims per-step cache
         # traffic (teacher-forced acceptance counts are unaffected).
-        # action_tree OFF: round 4 compiled (7, 5) in here and the driver
-        # measured a 2x closed-loop REGRESSION (warm 51.0 -> 23.1 Hz,
-        # floor step 6.8 -> 73.6 ms) — the lax.cond tree branch defeated
-        # the in-place KV-cache aliasing in the decode while_loop even on
-        # steps that never took it (VERDICT r4 item 1). The tree saves
-        # steps (cold 60 -> 34) but must be net-Hz-positive ON CHIP before
-        # it returns; see scripts/bench_tree_ab.py for the gate.
         spec_cl = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                     draft_k=12, vision_cache=vc,
                                     prefix_tail=24, quantized_cache=True,
-                                    action_tree=None)
+                                    action_tree=(7, 5))
         typ_streams = [frame_stream(f, TYPICAL_TOKENS) for f in range(FRAMES)]
         episode(spec_cl, TYPICAL_TOKENS, typ_streams)   # warmup/compile
         best_ts, all_steps, prefills, last_out = None, None, None, None
@@ -488,7 +487,7 @@ def main():
         # predicts 92 -> 66 steps/frame vs lookup-only)
         nodict_eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                        draft_k=12, vision_cache=None,
-                                       prefix_tail=0, action_tree=None)
+                                       prefix_tail=0, action_tree=(7, 5))
         episode(nodict_eng, TYPICAL_TOKENS, typ_streams, n_frames=2,
                 seed_cold=False)                       # warmup/compile
         nts, nsteps, _, _ = episode(nodict_eng, TYPICAL_TOKENS, typ_streams,
@@ -503,10 +502,14 @@ def main():
 
         # --- measured FLOOR: no vision cache, no prefix reuse, random
         # forced stream (no draftable structure) -> near-zero acceptance
-        # (VERDICT r2 item 1d): this row is the pure verifier-step cost
+        # (VERDICT r2 item 1d): this row is the pure verifier-step cost OF
+        # THE HEADLINE ENGINE CONFIG (tree compiled in — its W=43-wide
+        # unified step costs ~10.4 vs 7.8 ms for a 13-wide linear chunk,
+        # measured in scripts/bench_spec_k.py; keeping the config identical
+        # makes the sensitivity decomposition below self-consistent)
         floor_eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
                                       draft_k=12, vision_cache=None,
-                                      prefix_tail=0, action_tree=None)
+                                      prefix_tail=0, action_tree=(7, 5))
         rng_f = np.random.default_rng(7)
         floor_streams = [rng_f.integers(300, 30000, size=TYPICAL_TOKENS * 2)
                          .astype(np.int32) for _ in range(3)]

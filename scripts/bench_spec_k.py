@@ -44,6 +44,12 @@ def main():
                          "off | on/75 = tree (7,5) | 53 = tree (5,3)")
     ap.add_argument("--floor", action="store_true",
                     help="also measure pure step cost on a random stream")
+    ap.add_argument("--group", type=int, default=0,
+                    help="int4 quantization group size override (0 = the "
+                         "serving default, 128). --group 64 measures the "
+                         "quality-tilted weights' closed-loop Hz cost "
+                         "(VERDICT r4 item 9): g64 doubles scale-row count "
+                         "— scales are bf16 so +~0.22 GB of weight reads")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +68,8 @@ def main():
     shapes = jax.eval_shape(
         lambda: init_vlm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
     q4_shapes = jax.eval_shape(
-        lambda p: quantize_vlm_params(p, bits=4), shapes)
+        lambda p: quantize_vlm_params(p, bits=4,
+                                      group=args.group or None), shapes)
     q4params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), q4_shapes)
     tok = ByteLevelTokenizer()
@@ -156,7 +163,7 @@ def main():
         return ts, steps
 
     out = {"bench": "spec_k_sweep", "frames": FRAMES,
-           "tokens": TYPICAL_TOKENS}
+           "tokens": TYPICAL_TOKENS, "int4_group": args.group or 128}
     trees = {"off": None, "on": (7, 5), "75": (7, 5), "53": (5, 3)}
     for spec in args.configs.split(","):
         kstr, _, tstr = spec.partition(":")
