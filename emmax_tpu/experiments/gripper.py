@@ -31,21 +31,37 @@ def mask_to_pos_naive(mask: np.ndarray, x_offset: int = 10,
 
 
 class HFDetectorBackend:
-    """OWL-ViT + SAM backend (requires the pretrained checkpoints; gated)."""
+    """OWL-ViT + SAM backend (reference: ``gripper_position.py:99-112``).
+
+    By default loads the pretrained checkpoints (large gated downloads).
+    Pre-built ``owl_processor/owl/sam_processor/sam`` objects can be
+    injected instead — used by tests to run the genuine transformers
+    modeling code with tiny random-weight configs, and handy for sharing
+    one detector across locators.
+    """
 
     def __init__(self, owl_model: str = "google/owlvit-base-patch32",
                  sam_model: str = "facebook/sam-vit-base",
-                 query: str = "the black robotic gripper") -> None:
+                 query: str = "the black robotic gripper",
+                 threshold: float = 0.05,
+                 owl_processor=None, owl=None,
+                 sam_processor=None, sam=None) -> None:
         import torch
         from transformers import (AutoProcessor, OwlViTForObjectDetection,
                                   OwlViTProcessor, SamModel)
 
         self._torch = torch
-        self.owl_processor = OwlViTProcessor.from_pretrained(owl_model)
-        self.owl = OwlViTForObjectDetection.from_pretrained(owl_model).eval()
-        self.sam_processor = AutoProcessor.from_pretrained(sam_model)
-        self.sam = SamModel.from_pretrained(sam_model).eval()
+        self.owl_processor = (owl_processor if owl_processor is not None
+                              else OwlViTProcessor.from_pretrained(owl_model))
+        self.owl = (owl if owl is not None
+                    else OwlViTForObjectDetection.from_pretrained(owl_model)
+                    ).eval()
+        self.sam_processor = (sam_processor if sam_processor is not None
+                              else AutoProcessor.from_pretrained(sam_model))
+        self.sam = (sam if sam is not None
+                    else SamModel.from_pretrained(sam_model)).eval()
         self.query = query
+        self.threshold = threshold
 
     def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
         import torch
@@ -58,7 +74,7 @@ class HFDetectorBackend:
             out = self.owl(**inputs)
         target_size = torch.tensor([pil.size[::-1]])
         det = self.owl_processor.post_process_object_detection(
-            out, threshold=0.05, target_sizes=target_size)[0]
+            out, threshold=self.threshold, target_sizes=target_size)[0]
         if len(det["boxes"]) == 0:
             return None
         box = det["boxes"][det["scores"].argmax()].tolist()
