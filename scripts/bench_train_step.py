@@ -151,11 +151,16 @@ def main():
         nothing; the PARENT performs no device op until the gate passes,
         so its own client stays fresh for the real run."""
         import subprocess
+        # SINGLE-buffer probe: `jnp.ones(...) * 2` would materialize both
+        # the ones input AND the product — 2x the intended bytes, so a
+        # 15 GB probe demanded 30 GB on a 16 GB chip and could never pass
+        # (round-5 root cause of a 90-min gate timeout on an EMPTY device).
+        # jnp.full broadcasts a scalar: exactly one device buffer.
         probe_src = (
             "import sys\n"
             "import jax, jax.numpy as jnp\n"
             "rows = max(int(float(sys.argv[1]) * 2**30 / (2 * 4096)), 1)\n"
-            "x = jnp.ones((rows, 4096), jnp.bfloat16) * 2\n"
+            "x = jnp.full((rows, 4096), 2.0, jnp.bfloat16)\n"
             "assert float(x[-1, -1]) == 2.0\n"
             "del x\n")
         deadline = time.monotonic() + minutes * 60
