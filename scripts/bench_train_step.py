@@ -384,8 +384,19 @@ def main():
         try:
             state = run_config(state, counts, tx, B, T)
         except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" not in msg and "Ran out of memory" not in msg:
                 raise
+            if "compile" in msg.lower():
+                # STATIC (chipless AOT) rejection: no execution was
+                # dispatched, the donated state is intact — later rungs can
+                # still run. Shape quirk this guards: B=1 T=320 align7b
+                # statically needs 17.8 GB (XLA hoists layout-transposed
+                # copies of the stacked qkv at that shape) while B=2 T=320
+                # fits in 15.03 GB.
+                mark(f"rung B={B} T={T} does not fit STATICALLY "
+                     f"(compile-time OOM) — skipping to next rung")
+                continue
             mark(f"rung B={B} T={T} OOM at runtime; donated state consumed "
                  f"— stopping (smaller rungs above already reported)")
             return
