@@ -1,6 +1,12 @@
 # Convenience targets (see CLAUDE.md for environment notes)
 
 test:            ## full suite on a virtual 8-device CPU mesh (~15 min)
+	python -m pytest tests/ -q -n 2 --max-worker-restart 4
+
+# test-1proc: single-process run. Can hit a flaky XLA:CPU native crash after
+# ~70% of the suite in one interpreter (every test passes in isolation and
+# per-file; the 2-worker xdist run above contains/reports it instead).
+test-1proc:
 	python -m pytest tests/
 
 bench:           ## serving benchmark on the attached TPU (one JSON line)
