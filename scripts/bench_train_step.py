@@ -399,6 +399,10 @@ def main():
                 continue
             mark(f"rung B={B} T={T} OOM at runtime; donated state consumed "
                  f"— stopping (smaller rungs above already reported)")
+            # surface the allocator's own numbers (what was asked for, what
+            # was free) — the swallowed message is the only diagnostic
+            head = "\n".join(msg.splitlines()[:12])
+            mark(f"runtime OOM detail:\n{head}")
             return
         # step executables occupy HBM; drop before the next (bigger) rung
         jax.clear_caches()
