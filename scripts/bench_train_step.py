@@ -228,6 +228,18 @@ def main():
                             donate_argnums=(0,))(params)
             del params
             jax.block_until_ready(state.opt_state)
+            # FORCE full materialization: relay buffers are LAZY and
+            # block_until_ready can return before server-side allocation —
+            # an unmaterialized 14.9 GB state surfaces as an opaque
+            # ResourceExhausted inside the DONATING step execution. One
+            # tiny jitted reduction reads every leaf (materializes all
+            # buffers server-side) and fetches 4 bytes; if the state
+            # itself doesn't fit, THIS fails, with a clean attribution.
+            touch = jax.jit(lambda s: sum(
+                l.ravel()[0].astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(s)))
+            tv = float(touch(state))
+            mark(f"state materialized on device (touch={tv:.3e})")
         # drop the init/state-creation executables: compiled programs occupy
         # HBM, and the 7B align step runs within ~300 MB of the 15.75 GB
         # limit — every resident byte matters
