@@ -89,7 +89,21 @@ def encode_images(params: Params, cfg: VLMConfig,
 
     ``stop_tower_gradient`` stops gradients at the TOWER OUTPUTS (before
     the projector) — the align-stage contract: frozen towers, trainable
-    projector (reference ``freeze_backbones("align")``)."""
+    projector (reference ``freeze_backbones("align")``).
+
+    ``pixel_values={"tower_features": [B, P, C]}`` feeds pre-computed
+    channel-concat tower outputs straight to the projector (C = sum of
+    tower widths, e.g. 1024+1152 for DinoSigLIP). In frozen-tower stages
+    the tower outputs are constants per sample, so caching them across
+    epochs is sound: the projector still trains (gradients flow to it, not
+    past it), ``params["vision"]`` need not exist on device (−1.33 GB at
+    the 7B align stage), and the tower forward is skipped entirely. The
+    serving engines' pre-encoded ``{"patches": ...}`` input is the same
+    idea post-projector; training must cache PRE-projector because the
+    projector is the trainable piece."""
+    if "tower_features" in pixel_values:
+        fused = jax.lax.stop_gradient(pixel_values["tower_features"])
+        return projector_forward(params["projector"], fused)
     feats = [vit_forward(params["vision"][name], vcfg, pixel_values[name],
                          attn_impl=attn_impl)
              for name, vcfg in cfg.vision]

@@ -91,6 +91,16 @@ def main():
                          "fail), so the post-state binary search would "
                          "kill the very step it was sizing. --wait_free "
                          "covers preflight headroom via subprocess probes")
+    ap.add_argument("--cached_vision", action="store_true",
+                    help="align-stage vision caching: feed pre-computed "
+                         "channel-concat tower features "
+                         "({'tower_features': [B, P, C]}) instead of "
+                         "running the frozen towers — sound in frozen-"
+                         "tower stages (outputs are constants per sample; "
+                         "the projector still trains) and drops "
+                         "params['vision'] from the device (-1.33 GB at "
+                         "7B). MFU accounting excludes the skipped tower "
+                         "forward.")
     ap.add_argument("--wait_free", default="",
                     help="'GB:minutes' preflight gate — BEFORE materializing "
                          "anything, spawn a FRESH SUBPROCESS that allocates "
@@ -208,6 +218,11 @@ def main():
                     jax.tree_util.tree_leaves(params["vision"]))
         n_proj = sum(int(np.prod(l.shape)) for l in
                      jax.tree_util.tree_leaves(params["projector"]))
+        if args.cached_vision:
+            # frozen towers never run with cached features — drop them from
+            # the device entirely (their buffers are lazy: never read, so
+            # never materialized)
+            params = {k: v for k, v in params.items() if k != "vision"}
         tx, _ = make_optimizer(params, learning_rate=2e-5, weight_decay=0.01,
                                max_grad_norm=1.0,
                                lr_scheduler_type="constant",
@@ -276,24 +291,33 @@ def main():
         ids[:, 0] = 1
         labels = ids.copy()
         labels[:, : T // 3] = IGNORE_INDEX
+        C = sum(v.dim for _, v in cfg.vision)
         if args.abstract:
+            pv = ({"tower_features": jax.ShapeDtypeStruct(
+                      (B, cfg.num_patches, C), jnp.bfloat16)}
+                  if args.cached_vision else
+                  {name: jax.ShapeDtypeStruct(
+                      (B, v.img_size, v.img_size, 3), jnp.bfloat16)
+                   for name, v in cfg.vision})
             batch = {
                 "input_ids": jax.ShapeDtypeStruct((B, T), jnp.int32),
                 "attention_mask": jax.ShapeDtypeStruct((B, T), jnp.bool_),
                 "labels": jax.ShapeDtypeStruct((B, T), jnp.int32),
-                "pixel_values": {
-                    name: jax.ShapeDtypeStruct(
-                        (B, v.img_size, v.img_size, 3), jnp.bfloat16)
-                    for name, v in cfg.vision},
+                "pixel_values": pv,
             }
         else:
+            pv = ({"tower_features": jnp.asarray(rng.normal(
+                      size=(B, cfg.num_patches, C)).astype(np.float32))
+                      .astype(jnp.bfloat16)}
+                  if args.cached_vision else
+                  {name: jnp.asarray(rng.normal(
+                      size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
+                      .astype(jnp.bfloat16) for name, v in cfg.vision})
             batch = {
                 "input_ids": jnp.asarray(ids),
                 "attention_mask": jnp.ones((B, T), jnp.bool_),
                 "labels": jnp.asarray(labels),
-                "pixel_values": {name: jnp.asarray(rng.normal(
-                    size=(B, v.img_size, v.img_size, 3)).astype(np.float32))
-                    .astype(jnp.bfloat16) for name, v in cfg.vision},
+                "pixel_values": pv,
             }
 
         if args.dry_mem:
@@ -335,7 +359,7 @@ def main():
         P = cfg.num_patches
         F = T + P                              # fused LLM sequence
         tok_llm = B * F
-        tok_vis = B * (P + 8)                  # + prefix tokens, approx
+        tok_vis = 0 if args.cached_vision else B * (P + 8)  # + prefix, approx
         # matmul flops: fwd 2N/token; dW bwd 2N (trainable only); dx bwd 2N
         # vis_bwd must match stop_vision_gradient above: frozen-vision
         # stages (align AND vla-train) never run the tower backward, so
@@ -359,6 +383,7 @@ def main():
             "bench": "train_step",
             "config": args.config,
             "stage": stage,
+            "cached_vision": bool(args.cached_vision),
             "attn": args.attn,
             "remat": args.remat,
             "batch": B,

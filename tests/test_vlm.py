@@ -114,3 +114,42 @@ def test_stop_vision_gradient(setup):
     g2 = jax.grad(loss_fn)(params, False)
     assert any(float(jnp.abs(v).max()) > 0 for v in
                jax.tree_util.tree_leaves(g2["vision"]))
+
+
+def test_cached_tower_features_parity(setup):
+    """`pixel_values={"tower_features": ...}` (align-stage vision caching)
+    must reproduce the tower path exactly: same fused logits/loss, same
+    projector gradients, and must work with params lacking the "vision"
+    subtree entirely (the cached deployment drops the towers from device)."""
+    from emmax_tpu.models.vit import vit_forward
+
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    ids, pixels = _batch(cfg, rng)
+    labels = jnp.asarray(np.asarray(ids).copy())
+
+    feats = [vit_forward(params["vision"][name], vcfg, pixels[name])
+             for name, vcfg in cfg.vision]
+    fused = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+
+    ref_logits, ref_loss, _ = vlm_forward(params, cfg, ids, pixels,
+                                          labels=labels,
+                                          stop_vision_gradient=True)
+    slim = {k: v for k, v in params.items() if k != "vision"}
+    got_logits, got_loss, _ = vlm_forward(
+        slim, cfg, ids, {"tower_features": fused}, labels=labels)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(ref_logits), rtol=0, atol=0)
+    assert float(got_loss) == float(ref_loss)
+
+    def loss_fn(p, pv):
+        _, loss, _ = vlm_forward(p, cfg, ids, pv, labels=labels,
+                                 stop_vision_gradient=True)
+        return loss
+
+    g_ref = jax.grad(loss_fn)(params, pixels)["projector"]
+    g_got = jax.grad(loss_fn)(slim, {"tower_features": fused})["projector"]
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
