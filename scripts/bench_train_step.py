@@ -208,6 +208,21 @@ def main():
                                      jnp.bfloat16)
             jax.block_until_ready(params)
         mark("params ready")
+        if not args.abstract:
+            # MATERIALIZE params now: on the lazy relay block_until_ready
+            # reports ready without allocating, so the donating state init
+            # below would otherwise run against not-yet-resident inputs —
+            # the server then cannot alias them in place and transiently
+            # holds params + state (2 x 14 GB) instead of one (measured
+            # round 5: with 15.2 GB free at gate time, state
+            # materialization still OOMed until this touch). A jitted
+            # read of one element per leaf forces allocation server-side
+            # and fetches 4 bytes.
+            ptouch = jax.jit(lambda p: sum(
+                l.ravel()[0].astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(p)))
+            pv = float(ptouch(params))
+            mark(f"params materialized on device (touch={pv:.3e})")
         n_params = sum(int(np.prod(l.shape))
                        for l in jax.tree_util.tree_leaves(params))
         # per-component counts NOW — after state creation the old `params`
