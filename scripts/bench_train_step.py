@@ -192,6 +192,15 @@ def main():
             mark(f"wait_free: {gb:.2f} GB not allocatable; sleeping 180 s")
             time.sleep(180)
 
+    def materialize_tree(tree):
+        """Force server-side allocation of every leaf, one tiny fetch per
+        leaf (~30 ms each on the relay): reading element 0 completes that
+        leaf's pending program chain and lets its temps free before the
+        next leaf's chain runs."""
+        for l in jax.tree_util.tree_leaves(tree):
+            if isinstance(l, jax.Array) and l.size:
+                np.asarray(l[(0,) * l.ndim])
+
     def make_state():
         """Params + train state, built ONCE and shared across ladder rungs
         (a 14 GiB re-init per rung OOMs while the previous rung's buffers
@@ -209,20 +218,19 @@ def main():
             jax.block_until_ready(params)
         mark("params ready")
         if not args.abstract:
-            # MATERIALIZE params now: on the lazy relay block_until_ready
-            # reports ready without allocating, so the donating state init
-            # below would otherwise run against not-yet-resident inputs —
-            # the server then cannot alias them in place and transiently
-            # holds params + state (2 x 14 GB) instead of one (measured
-            # round 5: with 15.2 GB free at gate time, state
-            # materialization still OOMed until this touch). A jitted
-            # read of one element per leaf forces allocation server-side
-            # and fetches 4 bytes.
-            ptouch = jax.jit(lambda p: sum(
-                l.ravel()[0].astype(jnp.float32)
-                for l in jax.tree_util.tree_leaves(p)))
-            pv = float(ptouch(params))
-            mark(f"params materialized on device (touch={pv:.3e})")
+            # MATERIALIZE params now, LEAF BY LEAF: on the lazy relay
+            # block_until_ready reports ready without allocating, so the
+            # donating state init below would otherwise run against
+            # not-yet-resident inputs. And a single whole-tree touch OOMs
+            # too (measured: 15.2 GB free, 14.0 GB of params, still
+            # ResourceExhausted): the deferred replay executes EVERY
+            # pending init program under one fetch, holding the f32 RNG
+            # intermediates of all ~500 leaves live at once (~3x params).
+            # One tiny fetch per leaf completes each leaf's init chain and
+            # frees its temps before the next starts; afterwards exactly
+            # the bf16 params are resident.
+            materialize_tree(params)
+            mark("params materialized on device (leaf-by-leaf)")
         n_params = sum(int(np.prod(l.shape))
                        for l in jax.tree_util.tree_leaves(params))
         # per-component counts NOW — after state creation the old `params`
@@ -258,18 +266,12 @@ def main():
                             donate_argnums=(0,))(params)
             del params
             jax.block_until_ready(state.opt_state)
-            # FORCE full materialization: relay buffers are LAZY and
-            # block_until_ready can return before server-side allocation —
-            # an unmaterialized 14.9 GB state surfaces as an opaque
-            # ResourceExhausted inside the DONATING step execution. One
-            # tiny jitted reduction reads every leaf (materializes all
-            # buffers server-side) and fetches 4 bytes; if the state
-            # itself doesn't fit, THIS fails, with a clean attribution.
-            touch = jax.jit(lambda s: sum(
-                l.ravel()[0].astype(jnp.float32)
-                for l in jax.tree_util.tree_leaves(s)))
-            tv = float(touch(state))
-            mark(f"state materialized on device (touch={tv:.3e})")
+            # FORCE full state materialization the same leaf-by-leaf way —
+            # an unmaterialized state surfaces as an opaque
+            # ResourceExhausted inside the DONATING step execution; if the
+            # state itself doesn't fit, THIS fails, cleanly attributed.
+            materialize_tree(state)
+            mark("state materialized on device (leaf-by-leaf)")
         # drop the init/state-creation executables: compiled programs occupy
         # HBM, and the 7B align step runs within ~300 MB of the 15.75 GB
         # limit — every resident byte matters
