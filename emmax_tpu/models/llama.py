@@ -57,11 +57,37 @@ MISTRAL_7B = LlamaConfig(vocab_size=32064, dim=4096, n_layers=32, n_heads=32,
 
 def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
                       dtype=jnp.float32) -> Params:
-    """Random init (normal 0.02) — real runs load converted weights."""
+    """Random init (normal 0.02) — real runs load converted weights.
+
+    Large reduced-precision leaves take a memory-lean path: per-leading-
+    slice sampling written in place with buffer donation. The naive
+    whole-tensor ``normal(f32) * 0.02`` holds two f32 temps of the full
+    stacked leaf — 11.5 GB transient for 7B's [32, 4096, 11008] — which
+    makes a bf16 7B init unmaterializable on a 16 GB chip (the final
+    params are only 12.6 GB). The f32 path and small leaves keep the
+    original whole-tensor sampling byte-for-byte (golden fixtures pin it);
+    lean-path values are deterministic per seed but differ from the f32
+    path's cast (random init either way — real runs load weights)."""
     keys = iter(jax.random.split(rng, 16))
 
     def norm01(key, shape):
-        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+        n = 1
+        for s in shape:
+            n *= int(s)
+        if dtype == jnp.float32 or n < (1 << 27):
+            return (jax.random.normal(key, shape, jnp.float32)
+                    * 0.02).astype(dtype)
+        sub = jax.random.split(key, shape[0])
+        out = jnp.zeros(shape, dtype)
+        upd = jax.jit(
+            lambda o, p, i: jax.lax.dynamic_update_slice(
+                o, p[None].astype(dtype),
+                (i,) + (0,) * (len(shape) - 1)),
+            donate_argnums=0)
+        for i in range(shape[0]):
+            part = jax.random.normal(sub[i], shape[1:], jnp.float32) * 0.02
+            out = upd(out, part, jnp.int32(i))
+        return out
 
     L, D, H, KV, hd, F = (cfg.n_layers, cfg.dim, cfg.n_heads, cfg.n_kv_heads,
                           cfg.head_dim, cfg.hidden_dim)
