@@ -524,6 +524,30 @@ def main():
         extras["closedloop_floor_steps_per_frame"] = fsteps
         del floor_eng
 
+        # --- ADAPTIVE floor: same degenerate streams, adaptive_tree=True.
+        # Frame 1 runs the tree, measures ~1 accepted token/step, and
+        # demotes subsequent frames to the cheaper 13-wide linear
+        # executable (exact greedy either way;
+        # tests/test_speculative.py::test_adaptive_tree_*). This is the
+        # production floor — the static row above keeps the headline-config
+        # step cost the sensitivity table needs.
+        afloor_eng = SpeculativeEngine(cfg, q4params, tok, options=opts,
+                                       draft_k=12, vision_cache=None,
+                                       prefix_tail=0, action_tree=(7, 5),
+                                       adaptive_tree=True)
+        episode(afloor_eng, TYPICAL_TOKENS, floor_streams, n_frames=2,
+                seed_cold=False)             # compiles tree + linear paths
+        afloor_eng._tree_live = True         # measured run starts on tree
+        afts, afsteps, _, _ = episode(afloor_eng, TYPICAL_TOKENS,
+                                      floor_streams, n_frames=3,
+                                      seed_cold=False)
+        t_afloor = sum(afts) / len(afts)
+        _heartbeat("floor_adaptive")
+        extras["closedloop_floor_adaptive_frame_ms"] = round(t_afloor * 1e3, 1)
+        extras["closedloop_floor_adaptive_hz"] = round(
+            ACTIONS_PER_DECODE / t_afloor, 2)
+        del afloor_eng
+
         # --- sensitivity table DERIVED from the measured primitives
         # (per-verifier-step cost from the floor run, full-prefill cost from
         # the floor frames, tail-refresh cost from the warm typical frames):

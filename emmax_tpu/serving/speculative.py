@@ -779,6 +779,7 @@ class SpeculativeEngine(ServingEngine):
                  force_bf16_spec: bool = False, draft_layers: int = 0,
                  action_drafts: bool = True, action_n_bins: int = 256,
                  action_period: int = 7, action_tree=None,
+                 adaptive_tree: bool = False,
                  **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if self.options.temperature != 0.0:
@@ -801,6 +802,19 @@ class SpeculativeEngine(ServingEngine):
         self._tree_nodes = 0
         if self.action_tree:
             *_, self._tree_nodes = _tree_meta(self.action_tree)
+        # adaptive tree: the W-wide tree step costs ~+33% per verifier
+        # forward (BENCHMARKS round-5 sweep: 10.4 vs 7.8 ms) and pays for
+        # itself whenever drafts accept — but on degenerate streams (no
+        # draftable structure, acceptance ~1 token/step) it is pure tax.
+        # With adaptive_tree=True the engine watches each frame's measured
+        # accepted-tokens-per-step and dispatches the next frame on the
+        # cheaper linear executable when acceptance collapses (< 1.25),
+        # returning to the tree once it recovers (>= 2.5). Both variants
+        # are exact greedy, so switching never changes tokens; warmup()
+        # pre-compiles both.
+        self.adaptive_tree = bool(adaptive_tree) and self.action_tree is not None
+        self._tree_live = self.action_tree is not None
+        self.last_tree: Optional[bool] = None
         self.last_steps: Optional[int] = None
         self.last_prefill: Optional[str] = None
         self._prefix = None   # {ids, mask, patches, cache, cur_pos}
@@ -841,31 +855,43 @@ class SpeculativeEngine(ServingEngine):
         ctx = (np.zeros((draft_context_len,), np.int32)
                if draft_context_len else None)
         warmed = []
-        for b in batch_sizes:
-            pv = {k: (jnp.broadcast_to(v[:1], (b,) + v.shape[1:])
-                      if v.shape[0] != b else v)
-                  for k, v in pixel_values.items()}
-            patches = {"patches": encode_frame(self.params, self.cfg, pv,
-                                               attn_impl=self.attn_impl)}
-            for p in example_prompts:
-                prompts = [p] * b
-                bucket = pick_bucket(len(self.tokenizer.encode(p)),
-                                     self.buckets)
-                kw = ({} if ctx is None
-                      else {"draft_context": np.tile(ctx[None], (b, 1))})
-                self.generate_ids(prompts, patches, max_new_tokens=max_new,
-                                  **kw)
-                warmed.append((b, bucket, "full"))
-                tail_ok = (self.prefix_tail > 0 and not self._bf16_fallback
-                           and len(self.tokenizer.encode(p))
-                           >= self.prefix_tail)
-                if tail_ok:
-                    # identical prompt + identical patches object => the
-                    # prefix is reusable and the TAIL runner compiles
+        # adaptive engines dispatch on EITHER the tree or the linear
+        # executable at runtime — warm both so the first post-switch frame
+        # pays no lazy compile
+        variants = ([True, False] if self.adaptive_tree
+                    else [self._tree_live])
+        saved_live, saved_adaptive = self._tree_live, self.adaptive_tree
+        self.adaptive_tree = False   # warmup frames must not flip state
+        for live in variants:
+            self._tree_live = live
+            for b in batch_sizes:
+                pv = {k: (jnp.broadcast_to(v[:1], (b,) + v.shape[1:])
+                          if v.shape[0] != b else v)
+                      for k, v in pixel_values.items()}
+                patches = {"patches": encode_frame(self.params, self.cfg, pv,
+                                                   attn_impl=self.attn_impl)}
+                for p in example_prompts:
+                    prompts = [p] * b
+                    bucket = pick_bucket(len(self.tokenizer.encode(p)),
+                                         self.buckets)
+                    kw = ({} if ctx is None
+                          else {"draft_context": np.tile(ctx[None], (b, 1))})
                     self.generate_ids(prompts, patches,
                                       max_new_tokens=max_new, **kw)
-                    assert self.last_prefill == "tail", self.last_prefill
-                    warmed.append((b, bucket, "tail"))
+                    warmed.append((b, bucket, "full"))
+                    tail_ok = (self.prefix_tail > 0
+                               and not self._bf16_fallback
+                               and len(self.tokenizer.encode(p))
+                               >= self.prefix_tail)
+                    if tail_ok:
+                        # identical prompt + identical patches object => the
+                        # prefix is reusable and the TAIL runner compiles
+                        self.generate_ids(prompts, patches,
+                                          max_new_tokens=max_new, **kw)
+                        assert self.last_prefill == "tail", self.last_prefill
+                        warmed.append((b, bucket, "tail"))
+                self._prefix = None   # each variant re-warms the full path
+        self._tree_live, self.adaptive_tree = saved_live, saved_adaptive
         self._prefix = None   # drop warmup state; frame 0 prefills fully
         return warmed
 
@@ -988,6 +1014,7 @@ class SpeculativeEngine(ServingEngine):
             patches = vc.lookup(fp)
         vision = ({"patches": patches} if patches is not None
                   else pixel_values)
+        tree_arg = self.action_tree if self._tree_live else None
         if self._prefix_reusable(ids_np, mask_np, vision):
             pre = self._prefix
             packed, cache, cur_pos = _spec_run_tail(
@@ -998,7 +1025,7 @@ class SpeculativeEngine(ServingEngine):
                 draft_layers=self.draft_layers,
                 action_bins=self.action_bins,
                 action_period=self.action_period,
-                action_tree=self.action_tree)
+                action_tree=tree_arg)
             self.last_prefill = "tail"
         else:
             packed, cache, cur_pos, enc = _spec_run_full(
@@ -1009,7 +1036,7 @@ class SpeculativeEngine(ServingEngine):
                 draft_layers=self.draft_layers,
                 action_bins=self.action_bins,
                 action_period=self.action_period,
-                action_tree=self.action_tree)
+                action_tree=tree_arg)
             self.last_prefill = "full"
             if patches is None and fp is not None:
                 vc.store(fp, enc)
@@ -1020,4 +1047,19 @@ class SpeculativeEngine(ServingEngine):
                             "cur_pos": cur_pos, "cache_len": cache_len}
         fetched = np.asarray(packed)   # ONE device->host transfer
         self.last_steps = int(fetched[0, -2])
+        self.last_tree = tree_arg is not None
+        if self.adaptive_tree:
+            out = fetched[:, :-2]
+            eos = self.options.eos_id
+            if eos is None:
+                emitted = float(out.shape[1])
+            else:
+                hits = out == eos
+                emitted = float(np.where(hits.any(1), hits.argmax(1) + 1,
+                                         out.shape[1]).mean())
+            acc = emitted / max(self.last_steps, 1)
+            if self._tree_live and acc < 1.25:
+                self._tree_live = False
+            elif not self._tree_live and acc >= 2.5:
+                self._tree_live = True
         return fetched[:, :-2]

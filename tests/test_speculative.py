@@ -819,3 +819,70 @@ def test_tree_with_quantized_cache_exact_and_same_steps(setup_actions):
         return eng.last_steps
 
     assert run(True) == run(False)
+
+
+def test_adaptive_tree_switches_on_acceptance(setup_actions):
+    """adaptive_tree: a degenerate (random, undraftable) forced stream must
+    flip the engine onto the linear executable for the NEXT frame; a
+    well-drafted stream must flip it back. Tokens stay exact throughout
+    (both variants are exact greedy)."""
+    from emmax_tpu.vla.action_tokenizer import ActionTokenizer
+
+    cfg, params, tok = setup_actions
+    atok = ActionTokenizer(tok)
+    rng = np.random.default_rng(9)
+    pixels = _pixels(cfg, rng, 1)
+    n = 64
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=n)
+    eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=8,
+                            action_tree=(5, 3), adaptive_tree=True)
+    assert eng.adaptive_tree and eng._tree_live
+
+    # frame 1: random ids outside every draft source -> acceptance ~1
+    junk = np.asarray(rng.integers(4, 200, size=n), np.int32)
+    out = eng.generate_ids(["In: act\nOut:"], pixels, max_new_tokens=n,
+                           forced_tokens=junk)
+    np.testing.assert_array_equal(np.asarray(out[0][:n]), junk)
+    assert eng.last_tree is True          # frame 1 itself ran the tree
+    assert eng._tree_live is False        # ...and demoted the next frame
+
+    # frame 2: same junk again, now on the linear executable — exactness
+    # must hold there too, and acceptance stays ~1 -> stays linear
+    out = eng.generate_ids(["In: act\nOut:"], pixels, max_new_tokens=n,
+                           forced_tokens=junk)
+    np.testing.assert_array_equal(np.asarray(out[0][:n]), junk)
+    assert eng.last_tree is False and eng._tree_live is False
+
+    # frame 3: a draftable stream with the previous output as context ->
+    # high acceptance -> promotes the tree back for frame 4
+    stream = _gcot_like_stream(tok, atok, rng)
+    m = len(stream)
+    eng.generate_ids(["In: act\nOut:"], pixels, max_new_tokens=m,
+                     forced_tokens=stream, draft_context=stream)
+    assert eng.last_tree is False and eng._tree_live is True
+
+
+def test_adaptive_tree_token_parity_with_static_engines(setup_actions):
+    """Adaptive engine free-running greedy output must equal both static
+    engines' outputs regardless of which executable serves the frame."""
+    cfg, params, tok = setup_actions
+    rng = np.random.default_rng(11)
+    pixels = _pixels(cfg, rng, 1)
+    opts = GenerateOptions(eos_id=tok.eos_id, max_new_tokens=24)
+    prompt = ["In: POLICIES:"]
+
+    ref_tree = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=8,
+                                 action_tree=(5, 3)).generate_ids(
+        prompt, pixels, max_new_tokens=24)
+    ref_lin = SpeculativeEngine(cfg, params, tok, options=opts,
+                                draft_k=8).generate_ids(
+        prompt, pixels, max_new_tokens=24)
+    np.testing.assert_array_equal(np.asarray(ref_tree), np.asarray(ref_lin))
+
+    eng = SpeculativeEngine(cfg, params, tok, options=opts, draft_k=8,
+                            action_tree=(5, 3), adaptive_tree=True)
+    out1 = eng.generate_ids(prompt, pixels, max_new_tokens=24)
+    eng._tree_live = False                # force the linear executable
+    out2 = eng.generate_ids(prompt, pixels, max_new_tokens=24)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref_tree))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref_tree))
