@@ -104,3 +104,35 @@ def test_remat_same_output(models):
     a, _ = llama_forward(params, CFG, embeds, remat=False)
     b, _ = llama_forward(params, CFG, embeds, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_lean_init_path_statistics_and_determinism():
+    """Large (>=2^27-element) reduced-precision leaves take the memory-lean
+    per-layer init (models/llama.py:norm01) — the whole-tensor f32 sampling
+    holds 11.5 GB of temps at 7B and cannot materialize on one v5e. The
+    lean path must stay deterministic per seed, well-distributed, and must
+    NOT engage for f32 (golden fixtures pin the f32 values)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emmax_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(dim=4096, n_layers=4, n_heads=4, n_kv_heads=4,
+                      hidden_dim=8192, vocab_size=256, max_seq_len=64)
+    # w_gate [4, 4096, 8192] = 2^27 elements -> lean path for bf16
+    p = init_llama_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16)
+    wg = p["layers"]["w_gate"]
+    assert wg.shape == (4, 4096, 8192) and wg.dtype == jnp.bfloat16
+    s = float(jnp.std(wg.astype(jnp.float32)))
+    assert 0.019 < s < 0.021 and abs(float(jnp.mean(
+        wg.astype(jnp.float32)))) < 1e-4
+    p2 = init_llama_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16)
+    assert bool(jnp.all(p2["layers"]["w_gate"] == wg))      # deterministic
+    assert not bool(jnp.all(wg[0] == wg[1]))                # per-layer keys
+    # f32 keeps the exact whole-tensor path: equal to bf16-threshold-free
+    # sampling on a small leaf (wq [4, 4096, 2048] < 2^27 -> exact both)
+    pf = init_llama_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(pf["layers"]["wq"], np.float32),
+        np.asarray(p["layers"]["wq"], np.float32), atol=0.01)
