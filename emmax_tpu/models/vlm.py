@@ -104,13 +104,23 @@ def encode_images(params: Params, cfg: VLMConfig,
     if "tower_features" in pixel_values:
         fused = jax.lax.stop_gradient(pixel_values["tower_features"])
         return projector_forward(params["projector"], fused)
-    feats = [vit_forward(params["vision"][name], vcfg, pixel_values[name],
-                         attn_impl=attn_impl)
-             for name, vcfg in cfg.vision]
-    fused = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+    fused = encode_tower_features(params, cfg, pixel_values,
+                                  attn_impl=attn_impl)
     if stop_tower_gradient:
         fused = jax.lax.stop_gradient(fused)
     return projector_forward(params["projector"], fused)
+
+
+def encode_tower_features(params: Params, cfg: VLMConfig,
+                          pixel_values: Dict[str, jax.Array], *,
+                          attn_impl: str = "xla") -> jax.Array:
+    """Pre-projector channel-concat tower outputs [B, P, C] — the quantity
+    ``pixel_values={"tower_features": ...}`` feeds back in (see
+    ``encode_images``)."""
+    feats = [vit_forward(params["vision"][name], vcfg, pixel_values[name],
+                         attn_impl=attn_impl)
+             for name, vcfg in cfg.vision]
+    return feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
 
 
 def fuse_multimodal(patch_embeds: jax.Array, input_embeds: jax.Array,
