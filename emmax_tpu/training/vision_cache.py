@@ -45,10 +45,12 @@ class CachedVisionLoader:
     images from ``collate_lm``) cache like any other content hash and are
     ignored downstream by the unimodal merge.
 
-    Build the train state WITHOUT ``params["vision"]`` when using this
-    loader (the cached step never reads it — that's the memory win). A
-    state that shares the vision buffers would hand them to the step's
-    donation and could delete them out from under this loader.
+    The loader owns PRIVATE copies of the vision params (the donating
+    train step would otherwise delete shared buffers out from under it).
+    For the full memory win, build the train state WITHOUT
+    ``params["vision"]`` (the cached step never reads it) and call
+    ``release_towers()`` once the dataset has been fully seen (epoch 2+
+    never encodes again).
     """
 
     def __init__(self, loader, params, cfg: VLMConfig, transforms: Dict, *,
@@ -61,9 +63,14 @@ class CachedVisionLoader:
         self._store: Dict[bytes, np.ndarray] = {}
         self.encodes = 0          # tower-forward dispatch count (for tests)
         cdtype = compute_dtype or jnp.bfloat16
-        vparams = {"vision": params["vision"]}
+        # private copies: donation-proof (see class docstring)
+        self._vparams = {"vision": jax.tree_util.tree_map(
+            jnp.array, params["vision"])}
 
-        def encode(images):
+        def encode(vparams, images):
+            # vparams is an ARGUMENT, not a closure capture: closures embed
+            # arrays as executable constants (huge programs on a remote
+            # compiler) and would pin the towers past release_towers()
             from emmax_tpu.ops.image import preprocess_for_towers
 
             pv = {k: v.astype(cdtype)
@@ -74,6 +81,11 @@ class CachedVisionLoader:
 
         self._encode = jax.jit(encode)
 
+    def release_towers(self) -> None:
+        """Free the loader's private tower params (call once every sample
+        has been seen — epochs 2+ are pure cache hits)."""
+        self._vparams = None
+
     @staticmethod
     def _key(row: np.ndarray) -> bytes:
         return hashlib.blake2b(row.tobytes(), digest_size=16).digest()
@@ -82,10 +94,14 @@ class CachedVisionLoader:
         keys = [self._key(r) for r in images]
         missing = [i for i, k in enumerate(keys) if k not in self._store]
         if missing:
+            if self._vparams is None:
+                raise RuntimeError(
+                    "CachedVisionLoader: cache miss after release_towers() "
+                    "— release only once every sample has been encoded")
             # one device dispatch for the whole batch even on partial miss:
             # encoding is batched anyway and re-encoding a few cached rows
             # is cheaper than a second differently-shaped executable
-            feats = np.asarray(self._encode(images))
+            feats = np.asarray(self._encode(self._vparams, images))
             self.encodes += 1
             for i in missing:
                 self._store[keys[i]] = feats[i]

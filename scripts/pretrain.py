@@ -40,6 +40,9 @@ class PretrainConfig:
     max_steps: Optional[int] = None
     smoke_test: bool = False
     trackers: str = "jsonl"
+    # align-stage only: cache pre-projector tower features across epochs
+    # (frozen towers -> constant outputs; training/vision_cache.py)
+    cache_vision: bool = False
 
 
 def main(cfg: PretrainConfig) -> None:
@@ -127,6 +130,16 @@ def main(cfg: PretrainConfig) -> None:
             template = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
             params = _load_orbax(ckpt_path, template)
+
+    if cfg.cache_vision and cfg.stage == "align":
+        # frozen towers -> constant per-sample outputs: encode once per
+        # unique image, serve cached tower features every later epoch
+        # (the loader holds private tower copies; donation-safe)
+        from emmax_tpu.training.vision_cache import CachedVisionLoader
+
+        loader = CachedVisionLoader(
+            loader, params, vlm_cfg, transforms,
+            compute_dtype=jnp.float32 if cfg.smoke_test else jnp.bfloat16)
 
     total_steps = cfg.max_steps or epochs * max(len(loader), 1)
     stage_name = "align" if cfg.stage == "align" else "finetune"
